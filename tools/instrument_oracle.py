@@ -1,0 +1,150 @@
+#!/usr/bin/env python3
+"""Inject per-stage dump hooks into the oracle build (.oracle/) and rebuild.
+
+Inserts lc3_dump_* calls at every stage boundary of the ETSI float encoder
+(enc_lc3_fl.c) and decoder (dec_lc3_fl.c) so the test suite can compare each
+JAX stage against golden intermediates. The dumps are runtime-gated on the
+LC3_DUMP_DIR environment variable, so the instrumented binary is still
+bit-identical to the stock oracle in normal operation.
+
+Idempotent: skips files already instrumented. Run after tools/build_oracle.sh.
+"""
+import shutil
+import subprocess
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+FL = REPO / ".oracle/src/floating_point"
+
+ENC_INSERTS = [
+    # (anchor, code inserted BEFORE anchor)
+    ("    /* 12.8 kHz resampler */",
+     'lc3_dump_f32("enc_in", h_EncSetup->s_in_scaled, encoder->frame_length);\n'
+     'lc3_dump_f32("enc_mdct", d_fl, encoder->frame_length);\n'),
+    ("\t/* Pitch estimation */",
+     'lc3_dump_f32("enc_s12k8", h_EncSetup->s_12k8, s_12k8_len + 1);\n'),
+    ("\t/* LTPF encoder */",
+     'lc3_dump_i32("enc_olpa_T0", &T0_out, 1);\n'
+     'lc3_dump_f32("enc_olpa_nc", &normcorr, 1);\n'),
+    ("    /* Attack detector */",
+     'lc3_dump_i32("enc_ltpf_param", h_EncSetup->ltpf_param, 3);\n'
+     'lc3_dump_i32("enc_ltpf_bits", &ltpfBits, 1);\n'),
+    ("    /* Per-band energy */",
+     'lc3_dump_i32("enc_attdec", &h_EncSetup->attdec_detected, 1);\n'),
+    ("    /* Bandwidth cut-off detection */",
+     'lc3_dump_f32("enc_ener", h_EncSetup->ener, encoder->bands_number);\n'),
+    ("    processSnsComputeScf_fl(",
+     'lc3_dump_i32("enc_bwidx", &BW_cutoff_idx, 1);\n'),
+    ("    /* SNS Quantizer */",
+     'lc3_dump_f32("enc_scf", h_EncSetup->scf, 16);\n'),
+    ("    /* SNS Interpolation */",
+     'lc3_dump_f32("enc_scfq", h_EncSetup->scf_q, 16);\n'
+     'lc3_dump_i32("enc_scfidx", h_EncSetup->L_scf_idx, 7);\n'),
+    ("    /* Bandwidth controller */",
+     'lc3_dump_f32("enc_shaped", d_fl, encoder->frame_length);\n'
+     'lc3_dump_f32("enc_intscf", h_EncSetup->int_scf, encoder->bands_number);\n'),
+    ("    /* Global Gain Estimation */",
+     'lc3_dump_f32("enc_tns_out", d_fl, encoder->frame_length);\n'
+     'lc3_dump_i32("enc_tns_order", tns_order, 2);\n'
+     'lc3_dump_i32("enc_tns_idx", indexes, 16);\n'
+     'lc3_dump_i32("enc_tns_nf", &tns_numfilters, 1);\n'
+     'lc3_dump_i32("enc_tns_bits", &h_EncSetup->tns_bits, 1);\n'),
+    ("    /* 1. Quantization */",
+     'lc3_dump_f32("enc_gain", &gain, 1);\n'
+     'lc3_dump_i32("enc_gg", &quantizedGain, 1);\n'
+     'lc3_dump_i32("enc_ggmin", &quantizedGainMin, 1);\n'
+     'lc3_dump_f32("enc_targetBitsOff", &h_EncSetup->targetBitsOff, 1);\n'
+     'lc3_dump_i32("enc_targetBitsQuant", &h_EncSetup->targetBitsQuant, 1);\n'),
+    ("    /* Global Gain Adjustment */",
+     'lc3_dump_i32("enc_nbits", &nbits, 1);\n'
+     'lc3_dump_i32("enc_nbits2", &nbits2, 1);\n'),
+    ("    /* Noise factor */",
+     'lc3_dump_i32("enc_qd", q_d, encoder->yLen);\n'
+     'lc3_dump_i32("enc_lastnz", &lastnz, 1);\n'
+     'lc3_dump_i32("enc_lsbMode", &lsbMode, 1);\n'
+     'lc3_dump_i32("enc_gg2", &quantizedGain, 1);\n'
+     'lc3_dump_f32("enc_gain2", &gain, 1);\n'
+     'lc3_dump_i32("enc_gainChange", &gainChange, 1);\n'),
+    ("    /* Residual Coding */",
+     'lc3_dump_i32("enc_facns", &fac_ns_idx, 1);\n'),
+    ("    /* Entropy encoding */",
+     'lc3_dump_i32("enc_numResBits", &numResBits, 1);\n'
+     'lc3_dump_u8("enc_resBits", h_EncSetup->resBits, 80);\n'),
+    ("    /* Artithmetic encoding */",
+     'lc3_dump_u8("enc_side_bytes", bytes, h_EncSetup->targetBytes);\n'
+     'lc3_dump_i32("enc_bp_side", &bp_side, 1);\n'
+     'lc3_dump_i32("enc_mask_side", &mask_side, 1);\n'),
+]
+ENC_APPEND_AFTER = (
+    "                         h_EncSetup->codingdata, h_EncSetup->resBits, numResBits, lsbMode, h_EncSetup->targetBitsAri,\n"
+    "                         h_EncSetup->enable_lpc_weighting);",
+    '\nlc3_dump_u8("enc_bytes", bytes, h_EncSetup->targetBytes);\n',
+)
+
+DEC_INSERTS = [
+    ("    /* Arithmetic decoding */",
+     'if (bfi != 1) {\n'
+     'lc3_dump_i32("dec_gg", &gg_idx, 1);\n'
+     'lc3_dump_i32("dec_scfidx", h_DecSetup->scf_idx, 7);\n'
+     'lc3_dump_i32("dec_facns", &fac_ns_idx, 1);\n'
+     'lc3_dump_i32("dec_tnsnf", &tns_numfilters, 1);\n'
+     'lc3_dump_i32("dec_ltpf", h_DecSetup->ltpf_param, 3);\n'
+     'lc3_dump_i32("dec_bw", &bw_cutoff_idx, 1);\n'
+     'lc3_dump_i32("dec_lastnz", &lastnz, 1);\n'
+     'lc3_dump_i32("dec_lsb", &lsbMode, 1);\n'
+     '}\n'),
+    ("        /* SNS Quantize Decoder */",
+     'lc3_dump_f32("dec_spec_ari", h_DecSetup->sqQdec_fl, decoder->yLen);\n'
+     'lc3_dump_i32("dec_nfseed", &nf_seed, 1);\n'
+     'lc3_dump_i32("dec_zf", &zero_frame, 1);\n'
+     'lc3_dump_i32("dec_nbres", &nbits_residual, 1);\n'
+     'lc3_dump_i32("dec_respresent", &residualPresent, 1);\n'
+     'lc3_dump_i32("dec_tnsorder", tns_order, 2);\n'
+     'lc3_dump_i32("dec_tnsidx", h_DecSetup->tns_idx, 16);\n'),
+    ("        /* Noise filling */",
+     'lc3_dump_f32("dec_spec_res", h_DecSetup->sqQdec_fl, decoder->yLen);\n'),
+    ("        /* Application of global gain */",
+     'lc3_dump_f32("dec_spec_nf", h_DecSetup->sqQdec_fl, decoder->yLen);\n'),
+    ("        /* TNS decoder */",
+     'lc3_dump_f32("dec_spec_gg", h_DecSetup->sqQdec_fl, decoder->yLen);\n'),
+    ("        /* SNS interpolation */",
+     'lc3_dump_f32("dec_spec_tns", h_DecSetup->sqQdec_fl, decoder->yLen);\n'),
+    ("    /* PLC */",
+     'lc3_dump_f32("dec_spec_shaped", h_DecSetup->sqQdec_fl, decoder->yLen);\n'
+     'lc3_dump_f32("dec_scfq", h_DecSetup->scf_q, 16);\n'),
+    ("    processPlcUpdate_fl(",
+     'lc3_dump_f32("dec_imdct", h_DecSetup->x_fl, decoder->frame_length);\n'),
+    ("        /* Round, scale and copy output to output buffer */",
+     'lc3_dump_f32("dec_ltpf_out", h_DecSetup->x_fl, decoder->frame_length);\n'),
+]
+
+
+def instrument(path: Path, inserts, append_after=None) -> None:
+    text = path.read_text()
+    if "lc3_dump.h" in text:
+        print(f"{path.name}: already instrumented")
+        return
+    text = text.replace('#include "functions.h"', '#include "functions.h"\n#include "lc3_dump.h"', 1)
+    for anchor, code in inserts:
+        assert anchor in text, f"{path.name}: anchor not found: {anchor!r}"
+        text = text.replace(anchor, code + anchor, 1)
+    if append_after:
+        anchor, code = append_after
+        assert anchor in text, f"{path.name}: tail anchor not found"
+        text = text.replace(anchor, anchor + code, 1)
+    path.write_text(text)
+    print(f"{path.name}: instrumented")
+
+
+def main() -> None:
+    for fn in ("lc3_dump.c", "lc3_dump.h"):
+        shutil.copy(REPO / "tools/oracle_dump" / fn, FL / fn)
+    instrument(FL / "enc_lc3_fl.c", ENC_INSERTS, ENC_APPEND_AFTER)
+    instrument(FL / "dec_lc3_fl.c", DEC_INSERTS)
+    subprocess.run(["make", "-C", str(FL), "-j8", "OPTIM=2"], check=True,
+                   capture_output=True)
+    print("oracle (instrumented) rebuilt")
+
+
+if __name__ == "__main__":
+    main()
