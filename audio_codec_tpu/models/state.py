@@ -1,0 +1,139 @@
+"""Per-stream codec state as pytrees of [n_streams, ...] arrays.
+
+The reference keeps per-channel state in malloc'd structs
+(EncSetup, setup_enc_lc3.h:17-63; DecSetup, setup_dec_lc3.h:17-58).
+Here the same state-block contract becomes a flat pytree of batched arrays:
+checkpoint/resume and stream migration are plain array slicing (SURVEY.md §5),
+and every op consumes/returns state functionally.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+from flax import struct
+
+from .. import tables as T
+from ..config import Config
+
+
+@struct.dataclass
+class EncState:
+    # MDCT overlap memory: raw input tail x[la_zeroes:] (mdct.c:100-111)
+    mdct_mem: jnp.ndarray          # [B, frame_length - la_zeroes]
+    # 12.8 kHz resampler (resamp12k8.c; setup_enc_lc3.h:23-25)
+    r12k8_mem_in: jnp.ndarray      # [B, mem_in_len]
+    r12k8_mem_50: jnp.ndarray      # [B, 2] biquad state
+    r12k8_mem_out: jnp.ndarray     # [B, 24]
+    # open-loop pitch (olpa.c; setup_enc_lc3.h:26-27,46)
+    olpa_mem_s12k8: jnp.ndarray    # [B, 3]
+    olpa_mem_s6k4: jnp.ndarray     # [B, LEN_6K4 + MAX_PITCH_6K4 + 16]
+    olpa_mem_pitch: jnp.ndarray    # [B] int32, init 17
+    # LTPF encoder (ltpf_coder.c; setup_enc_lc3.h:18-20,28,37,47)
+    ltpf_mem_in: jnp.ndarray       # [B, ltpf_mem_in_len]
+    ltpf_mem_normcorr: jnp.ndarray       # [B]
+    ltpf_mem_mem_normcorr: jnp.ndarray   # [B]
+    ltpf_mem_ltpf_on: jnp.ndarray        # [B] int32
+    ltpf_mem_pitch: jnp.ndarray          # [B] float32
+    # attack detector (attack_detector.c; setup_enc_lc3.h:21-22,50-52)
+    attdec_filter_mem: jnp.ndarray  # [B, 2]
+    attdec_acc_energy: jnp.ndarray  # [B]
+    attdec_detected: jnp.ndarray    # [B] int32
+    attdec_position: jnp.ndarray    # [B] int32
+    # global-gain rate loop memory (estimate_global_gain.c:42-50)
+    targetBitsOff: jnp.ndarray      # [B] float32
+    mem_targetBits: jnp.ndarray     # [B] int32
+    mem_specBits: jnp.ndarray       # [B] int32
+
+
+def enc_state_init(cfg: Config, n_streams: int) -> EncState:
+    B = n_streams
+    f32, i32 = jnp.float32, jnp.int32
+    z = lambda *shape: jnp.zeros((B, *shape), f32)
+    zi = lambda *shape: jnp.zeros((B, *shape), i32)
+    return EncState(
+        mdct_mem=z(cfg.frame_length - cfg.la_zeroes),
+        r12k8_mem_in=z(cfg.mem_in_len),
+        r12k8_mem_50=z(2),
+        r12k8_mem_out=z(24),
+        olpa_mem_s12k8=z(3),
+        olpa_mem_s6k4=z(T.LEN_6K4 + T.MAX_PITCH_6K4 + 16),
+        olpa_mem_pitch=jnp.full((B,), 17, i32),
+        ltpf_mem_in=z(cfg.ltpf_mem_in_len),
+        ltpf_mem_normcorr=z(),
+        ltpf_mem_mem_normcorr=z(),
+        ltpf_mem_ltpf_on=zi(),
+        ltpf_mem_pitch=z(),
+        attdec_filter_mem=z(2),
+        attdec_acc_energy=z(),
+        attdec_detected=zi(),
+        attdec_position=zi(),
+        targetBitsOff=z(),
+        mem_targetBits=zi(),
+        mem_specBits=zi(),
+    )
+
+
+def ltpf_dec_lens(cfg: Config) -> tuple[int, int, int, int]:
+    """(old_x_len, old_y_len, tilt_len, inter_len_r) per ltpf_decoder.c:88-150."""
+    fs = cfg.fs
+    if fs in (8000, 16000):
+        inter_len_r, tilt_len_r = 4, 3
+    elif fs == 24000:
+        inter_len_r, tilt_len_r = 6, 5
+    elif fs == 32000:
+        inter_len_r, tilt_len_r = 8, 7
+    else:
+        inter_len_r, tilt_len_r = 12, 11
+    tilt_len = tilt_len_r - 1
+    inter_len = max(fs, 16000) // 8000
+    old_x_len = tilt_len
+    old_y_len = math.ceil(228 * fs / 12800) + inter_len
+    return old_x_len, old_y_len, tilt_len, inter_len_r
+
+
+@struct.dataclass
+class DecState:
+    # IMDCT overlap-add memory (imdct.c:49-58)
+    imdct_mem: jnp.ndarray         # [B, frame_length - la_zeroes]
+    # LTPF postfilter history (ltpf_decoder.c; setup_dec_lc3.h:26-31,42-46)
+    ltpf_mem_x: jnp.ndarray        # [B, old_x_len]
+    ltpf_mem_y: jnp.ndarray        # [B, old_y_len]
+    ltpf_mem_pitch_int: jnp.ndarray  # [B] int32
+    ltpf_mem_pitch_fr: jnp.ndarray   # [B] int32
+    ltpf_mem_gain: jnp.ndarray       # [B] float32
+    ltpf_mem_beta_idx: jnp.ndarray   # [B] int32, init -1
+    ltpf_param_mem: jnp.ndarray      # [B, 3] int32
+    # PLC (plc_main.c, structs.h:70-86)
+    plc_q_d_prev: jnp.ndarray      # [B, yLen] previous good spectrum
+    plc_nbLostCmpt: jnp.ndarray    # [B] int32
+    plc_prevBfi: jnp.ndarray       # [B] int32
+    plc_prevprevBfi: jnp.ndarray   # [B] int32
+    plc_cum_alpha: jnp.ndarray     # [B] float32, init 1
+    plc_seed: jnp.ndarray          # [B] int32, init 24607
+    plc_scf_q: jnp.ndarray         # [B, 16] last good scale factors
+
+
+def dec_state_init(cfg: Config, n_streams: int) -> DecState:
+    B = n_streams
+    f32, i32 = jnp.float32, jnp.int32
+    z = lambda *shape: jnp.zeros((B, *shape), f32)
+    zi = lambda *shape: jnp.zeros((B, *shape), i32)
+    old_x_len, old_y_len, _, _ = ltpf_dec_lens(cfg)
+    return DecState(
+        imdct_mem=z(cfg.frame_length - cfg.la_zeroes),
+        ltpf_mem_x=z(old_x_len),
+        ltpf_mem_y=z(old_y_len),
+        ltpf_mem_pitch_int=zi(),
+        ltpf_mem_pitch_fr=zi(),
+        ltpf_mem_gain=z(),
+        ltpf_mem_beta_idx=jnp.full((B,), -1, i32),
+        ltpf_param_mem=zi(3),
+        plc_q_d_prev=z(cfg.yLen),
+        plc_nbLostCmpt=zi(),
+        plc_prevBfi=zi(),
+        plc_prevprevBfi=zi(),
+        plc_cum_alpha=jnp.ones((B,), f32),
+        plc_seed=jnp.full((B,), 24607, i32),
+        plc_scf_q=z(16),
+    )
