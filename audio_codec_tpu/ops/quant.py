@@ -1,0 +1,389 @@
+"""Spectral quantization: global gain loop, quantizer + context bit estimate,
+noise factor, residual coding, and the decoder-side inverses.
+
+Reference (SURVEY.md §2.1/2.2):
+- processEstimateGlobalGain_fl (estimate_global_gain.c:30-137): the 8-step
+  bisection is kept verbatim; the reference's backward iszero-tracking inner
+  loop becomes a vectorized suffix test (max-index trick) per iteration.
+- processQuantizeSpec_fl (quantize_spec.c:26-197): the per-2-tuple context
+  recursion runs as a lax.scan over tuples with [B] carry; the level loop is
+  replaced by closed-form level counts + a fixed unrolled table walk.
+- processAdjustGlobalGain_fl (adjust_global_gain.c:13-50)
+- processNoiseFactor_fl (noise_factor.c:13-108)
+- processResidualCoding_fl / processResidualDecoding_fl
+- processApplyGlobalGain_fl, processNoiseFilling_fl (noise_filling.c:13-80)
+  with the LCG advanced in closed form per zero-line rank.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import tables as T
+from ..config import Config
+
+F32 = jnp.float32
+I32 = jnp.int32
+NBITS_CTX_MAX_LEV = 13
+
+
+# ---------------------------------------------------------------------------
+# global gain estimate
+# ---------------------------------------------------------------------------
+
+def estimate_global_gain(cfg: Config, x, nbitsSQ, targetBitsOff, old_targetBits,
+                         old_specBits):
+    """Returns (gain [B], gg_ind [B], gg_min [B], new_targetBitsOff,
+    new_old_targetBits) — processEstimateGlobalGain_fl."""
+    B, lg = x.shape
+    u = F32(28.0 / 20.0)
+
+    valid = old_targetBits >= 0
+    tmp = jnp.clip(targetBitsOff + old_targetBits.astype(F32) - old_specBits.astype(F32),
+                   -40.0, 40.0)
+    targetBitsOff = jnp.where(valid, 0.8 * targetBitsOff + 0.2 * tmp,
+                              jnp.zeros_like(targetBitsOff))
+    new_old_targetBits = jnp.full((B,), nbitsSQ, I32)
+    nbits_adj = nbitsSQ + jnp.round(targetBitsOff).astype(I32)
+
+    x_max = jnp.max(jnp.abs(x), axis=-1)
+
+    reg_val = jnp.zeros((B,), F32)
+    if cfg.hrmode and cfg.regBits > 0:
+        i = jnp.arange(lg, dtype=F32)[None, :]
+        M0 = 1e-5 + jnp.sum(jnp.abs(x), axis=-1)
+        M1 = 1e-5 + jnp.sum(i * jnp.abs(x), axis=-1)
+        thresh = 2 * cfg.frame_ms
+        rB_offset = 8.0 * (1.0 - jnp.minimum(M1 / M0, thresh) / thresh)
+        reg_val = x_max * jnp.exp2(-cfg.regBits - rB_offset)
+
+    if cfg.hrmode:
+        g_min = x_max / (32768.0 * 256.0 - 2.0)
+    else:
+        g_min = x_max / (32768.0 - 0.375)
+    ind_min = jnp.ceil(28.0 * jnp.log10(jnp.maximum(g_min, 1e-38))).astype(I32)
+
+    e4 = (x * x).reshape(B, lg // 4, 4).sum(-1)
+    en = u * (7.0 + 10.0 * jnp.log10(e4 + reg_val[:, None] + F32(2.0 ** -31)))
+
+    target = u * 1.4 * nbits_adj.astype(F32)
+    offset = jnp.full((B,), 255 + cfg.quantizedGainOff, F32)
+    fac = F32(256.0)
+    jidx = jnp.arange(lg // 4)
+    for _ in range(8):
+        fac = fac * 0.5
+        offset = offset - fac
+        tmp_en = en - offset[:, None]
+        high = tmp_en >= 7.0 * u
+        any_high = high.any(-1)
+        # last index with high (the backward scan sets iszero=0 from there down)
+        jmax = jnp.where(any_high,
+                         (lg // 4 - 1) - jnp.argmax(jnp.flip(high, -1), -1), -1)
+        contrib_high = jnp.where(tmp_en > 50.0 * u, 2.0 * tmp_en - 50.0 * u, tmp_en)
+        contrib = jnp.where(high, contrib_high,
+                            jnp.where(jidx[None, :] < jmax[:, None], 2.7 * u, 0.0))
+        ener = jnp.sum(contrib, axis=-1)
+        offset = offset + jnp.where((ener > target) & any_high, fac, 0.0)
+
+    below = offset < ind_min.astype(F32)
+    zero_in = x_max == 0
+    new_old_targetBits = jnp.where(below | zero_in, -1, new_old_targetBits)
+    ind = jnp.where(zero_in, 0,
+                    jnp.maximum(ind_min.astype(F32), offset) - cfg.quantizedGainOff)
+    ind_min = jnp.where(zero_in, cfg.quantizedGainOff, ind_min)
+    gain = jnp.power(F32(10.0), (ind + cfg.quantizedGainOff) / 28.0)
+    return gain, ind.astype(I32), ind_min, targetBitsOff, new_old_targetBits
+
+
+# ---------------------------------------------------------------------------
+# spectral quantizer + context-model bit estimate
+# ---------------------------------------------------------------------------
+
+def quantize_spectrum(cfg: Config, x, gain):
+    """Quantize x by gain with 0.375 dead-zone offset → xq [B, N] i32."""
+    offset = 0.5 if cfg.hrmode else 0.375
+    q = x / gain[:, None]
+    return jnp.trunc(q + offset * jnp.sign(q)).astype(I32)
+
+
+def bit_estimate(cfg: Config, xq, target, mode):
+    """Context bit estimator (quantize_spec.c:78-168) as a scan over 2-tuples.
+
+    xq: [B, N] i32; target: scalar int (targetBitsQuant); mode: -1 or 0/1.
+    Returns dict with nbits, nbits2, lastnz, lastnz2, lsbMode — all [B].
+    The per-tuple context data (t, maxlev, sym) is recomputed on the fly by
+    the arithmetic encoder, so it is not materialized here.
+    """
+    B, N = xq.shape
+    lookup = jnp.asarray(T.t("ari_spec_lookup_fl"), I32)
+    bits_tab = jnp.asarray(T.t("ari_spec_bits_fl"), I32)      # [64, 17]
+    rate_flag = cfg.rateFlag
+    max_lev_iter = 21 if cfg.hrmode else 14
+
+    a_all = jnp.abs(xq[:, 0::2])
+    b_all = jnp.abs(xq[:, 1::2])
+    nz = (a_all != 0) | (b_all != 0)
+    # lastnz: last tuple (index k, step2) with nonzero, min 1 tuple
+    tup_idx = jnp.arange(N // 2)
+    last_tup = jnp.where(nz[:, 1:].any(-1),
+                         1 + (N // 2 - 2) - jnp.argmax(jnp.flip(nz[:, 1:], -1), -1),
+                         0)
+    lastnz = (2 * last_tup + 1).astype(I32)   # C's lastnz = i+1 (odd index)
+
+    mode_arr = jnp.full((B,), mode, I32)
+
+    def body(carry, k):
+        c, nbits, nbits2, lastnz2, nbits_lsb = carry
+        a = a_all[:, k]
+        b = b_all[:, k]
+        t = c + rate_flag + jnp.where(k > N // 4, 256, 0)
+        m = jnp.maximum(a, b)
+        nlev = jnp.where(m >= 4, jnp.maximum((31 - jax.lax.clz(jnp.maximum(m, 1))) - 1, 0), 0)
+        maxlev = jnp.where(m == 0, -1,
+                           jnp.maximum((31 - jax.lax.clz(jnp.maximum(jnp.maximum(m, 3), 1))) - 1, 0))
+        in_range = k < (lastnz + 1) // 2  # active tuples: k*2 < lastnz
+
+        nb = jnp.zeros((B,), I32)
+        nb = nb + jnp.where(mode_arr <= 0,
+                            (jnp.minimum(a, 1) + jnp.minimum(b, 1)) * 2048, 0)
+        lsb = jnp.zeros((B,), I32)
+        aa, bb = a, b
+        for lev in range(max_lev_iter):
+            live = lev < nlev
+            lev1 = min(lev, 3)
+            pki = lookup[jnp.clip(t + lev1 * 1024, 0, 4095)]
+            esc = bits_tab[pki, 16]
+            nb = nb + jnp.where(live, esc, 0)
+            if lev == 0:
+                lsb = lsb + jnp.where(live & (mode_arr > 0), 2, 0)
+                nb = nb + jnp.where(live & (mode_arr <= 0), 2 * 2048, 0)
+            else:
+                nb = nb + jnp.where(live, 2 * 2048, 0)
+            aa = jnp.where(live, aa >> 1, aa)
+            bb = jnp.where(live, bb >> 1, bb)
+        lev1f = jnp.minimum(nlev, 3)
+        pki = lookup[jnp.clip(t + lev1f * 1024, 0, 4095)]
+        sym = aa + 4 * bb
+        nb = nb + bits_tab[pki, jnp.clip(sym, 0, 16)]
+
+        # lsbMode extras (quantize_spec.c:129-147)
+        a1 = jnp.where(nlev > 0, a >> 1, a)
+        b1 = jnp.where(nlev > 0, b >> 1, b)
+        lsb = lsb + jnp.where((nlev > 0) & (a1 == 0) & (a != 0), 1, 0)
+        lsb = lsb + jnp.where((nlev > 0) & (b1 == 0) & (b != 0), 1, 0)
+        nb = nb + jnp.where(mode_arr > 0,
+                            (jnp.minimum(a1, 1) + jnp.minimum(b1, 1)) * 2048, 0)
+
+        nbits_new = nbits + jnp.where(in_range, nb, 0)
+        nbits_lsb_new = nbits_lsb + jnp.where(in_range, lsb, 0)
+        hit = in_range & (mode_arr >= 0) & ((a != 0) | (b != 0)) & \
+            (nbits_new <= target * 2048)
+        lastnz2_new = jnp.where(hit, 2 * k + 2, lastnz2)
+        nbits2_new = jnp.where(hit, nbits_new, nbits2)
+
+        # context update (quantize_spec.c:158-166)
+        levm1 = nlev.astype(I32) - 1
+        t_next = jnp.where(levm1 <= 0, 1 + (aa + bb) * (levm1 + 2), 13 + levm1)
+        c_new = (c & 15) * 16 + t_next
+        c_new = jnp.where(in_range, c_new, c)
+        return (c_new, nbits_new, nbits2_new, lastnz2_new, nbits_lsb_new), None
+
+    init = (jnp.zeros((B,), I32), jnp.zeros((B,), I32), jnp.zeros((B,), I32),
+            jnp.full((B,), 2, I32), jnp.zeros((B,), I32))
+    (c, nbits, nbits2, lastnz2, nbits_lsb), _ = jax.lax.scan(
+        body, init, jnp.arange(N // 2))
+
+    nbits_f = (nbits + 2047) // 2048
+    if mode >= 0:
+        nbits2_f = (nbits2 + 2047) // 2048
+    else:
+        nbits2_f = nbits_f
+        lastnz2 = lastnz + 1
+    if mode > 0:
+        nbits_f = nbits_f + nbits_lsb
+        nbits2_f = nbits2_f + nbits_lsb
+    lsb_mode = jnp.where((mode > 0) & (nbits_f > target), 1, 0)
+    return dict(nbits=nbits_f, nbits2=nbits2_f, lastnz=lastnz,
+                lastnz2=lastnz2.astype(I32), lsbMode=lsb_mode.astype(I32))
+
+
+def truncate_spectrum(xq, lastnz, lastnz2):
+    """Zero xq[lastnz2 .. lastnz] inclusive (quantize_spec.c:170-173)."""
+    n = xq.shape[1]
+    idx = jnp.arange(n)[None, :]
+    kill = (idx >= lastnz2[:, None]) & (idx <= lastnz[:, None])
+    return jnp.where(kill, 0, xq)
+
+
+def adjust_global_gain(cfg: Config, gg_idx, gg_min, gain, target, nbits):
+    """processAdjustGlobalGain_fl → (gg_idx, gain, gainChange) [B]."""
+    fs_idx = cfg.fs_idx
+    p1 = float(T.t("gg_p1")[fs_idx])
+    p2 = float(T.t("gg_p2")[fs_idx])
+    p3 = float(T.t("gg_p3")[fs_idx])
+    c = float(T.t("gg_c")[fs_idx])
+    d = float(T.t("gg_d")[fs_idx])
+    nb = nbits.astype(F32)
+    delta = jnp.where(nb < p1, (nb + 48.0) / 16.0,
+                      jnp.where(nb < p2, (nb + d) * c,
+                                jnp.where(nb < p3, nb / 48.0, p3 / 48.0)))
+    delta = jnp.round(delta)
+    delta2 = delta + 2
+
+    over = nbits > target
+    under = nbits < target - delta2
+    change_sat = (gg_idx == 255) & over
+    do_adj = ((gg_idx < 255) & over) | ((gg_idx > 0) & under)
+
+    dec1 = under
+    inc1 = (gg_idx == 254) | (nbits.astype(F32) < target + delta)
+    new_idx = jnp.where(dec1, gg_idx - 1, jnp.where(inc1, gg_idx + 1, gg_idx + 2))
+    new_idx = jnp.maximum(new_idx, gg_min - cfg.quantizedGainOff)
+    gg_out = jnp.where(do_adj, new_idx, gg_idx)
+    gain_out = jnp.where(do_adj,
+                         jnp.power(F32(10.0), (gg_out + cfg.quantizedGainOff).astype(F32) / 28.0),
+                         gain)
+    return gg_out.astype(I32), gain_out, (do_adj | change_sat).astype(I32)
+
+
+# ---------------------------------------------------------------------------
+# noise factor (encoder)
+# ---------------------------------------------------------------------------
+
+def noise_factor(cfg: Config, x, xq, gain, bw_bin):
+    """processNoiseFactor_fl → fac_ns_idx [B] i32. bw_bin: [B] cutoff bin."""
+    B, N = x.shape
+    if cfg.frame_dms == 100:
+        width, start_off = 3, 24   # (nTransWidth-2)/2 = 3
+    else:
+        width, start_off = 1, {50: 12, 25: 6}[cfg.frame_dms]
+    k = jnp.arange(N)[None, :]
+    nz = xq != 0
+    # allZeros over window [k-width, min(bw-1, k+width)]
+    any_nz = jnp.zeros((B, N), jnp.bool_)
+    for off in range(-width, width + 1):
+        sh = jnp.roll(nz, -off, axis=1)
+        valid = (k + off >= 0) & (k + off <= bw_bin[:, None] - 1)
+        any_nz = any_nz | (sh & valid)
+    in_range = (k >= start_off) & (k < bw_bin[:, None])
+    zline = in_range & ~any_nz                                    # [B, N]
+    kcnt = jnp.sum(zline, axis=-1)
+    vals = jnp.abs(x / gain[:, None])
+    mean_all = jnp.sum(jnp.where(zline, vals, 0.0), axis=-1) / jnp.maximum(kcnt, 1)
+    fac = jnp.where(kcnt > 0, mean_all, 0.0)
+
+    if cfg.frame_dms == 100 and cfg.targetBytes <= 20:
+        lines = jnp.where(zline, k + 1, 0)
+        m = jnp.sum(lines, axis=-1) // jnp.maximum(kcnt, 1)
+        lo = zline & ((k + 1) <= m[:, None])
+        hi = zline & ((k + 1) > m[:, None])
+        nlo = jnp.maximum(jnp.sum(lo, -1), 1)
+        nhi = jnp.maximum(jnp.sum(hi, -1), 1)
+        nsf1 = jnp.sum(jnp.where(lo, vals, 0.0), -1) / nlo
+        nsf2 = jnp.sum(jnp.where(hi, vals, 0.0), -1) / nhi
+        fac = jnp.where(kcnt > 0, jnp.minimum(nsf1, nsf2), fac)
+
+    idx = jnp.round(8.0 - 16.0 * fac)
+    return jnp.clip(idx, 0, 7).astype(I32)
+
+
+# ---------------------------------------------------------------------------
+# residual coding
+# ---------------------------------------------------------------------------
+
+def residual_encode(cfg: Config, x, xq, gain, target, nbits2):
+    """processResidualCoding_fl (non-HR single pass).
+
+    Returns (res_bits [B, MAX_RES] i32 0/1, n_res [B]).
+    Bit n corresponds to the n-th nonzero coefficient in index order.
+    """
+    B, N = x.shape
+    m = target - nbits2 + 4
+    nz = xq != 0
+    rank = jnp.cumsum(nz, axis=-1) - 1                       # rank of each nz coef
+    bit_val = (x >= xq.astype(F32) * gain[:, None]).astype(I32)
+    n_res = jnp.minimum(jnp.sum(nz, axis=-1), jnp.maximum(m, 0))
+    max_res = N  # at most one bit per coefficient in non-HR mode
+    res = jnp.zeros((B, max_res), I32)
+    scat = jnp.where(nz, rank, max_res - 1)
+    res = res.at[jnp.arange(B)[:, None], scat].max(jnp.where(nz, bit_val, 0),
+                                                   mode="drop")
+    return res, n_res.astype(I32)
+
+
+def residual_decode(cfg: Config, x, res_bits, n_res):
+    """processResidualDecoding_fl (non-HR): apply ±3/16, ±5/16 nudges."""
+    B, N = x.shape
+    nz = x != 0.0
+    rank = jnp.cumsum(nz, axis=-1) - 1
+    active = nz & (rank < n_res[:, None])
+    bit = jnp.take_along_axis(res_bits, jnp.clip(rank, 0, res_bits.shape[1] - 1), 1)
+    off1, off2 = F32(0.1875), F32(0.3125)
+    pos = x > 0
+    delta = jnp.where(bit == 0,
+                      jnp.where(pos, -off1, -off2),
+                      jnp.where(pos, off2, off1))
+    return jnp.where(active, x + delta, x)
+
+
+# ---------------------------------------------------------------------------
+# decoder-side spectrum ops
+# ---------------------------------------------------------------------------
+
+def apply_global_gain(cfg: Config, x, gg_idx):
+    gg = jnp.power(F32(10.0), (gg_idx + cfg.quantizedGainOff).astype(F32) / 28.0)
+    return x * gg[:, None]
+
+
+def _lcg_tables(n: int):
+    """Closed-form affine advance of the noise-filling LCG
+    seed' = (13849 + (seed + 32768) * 31821) & 65535 - 32768  (noise_filling.c:58-60).
+    In unsigned u16 arithmetic: s_u' = (s_u * 31821 + 13849 + 32768*31821) mod 2^16.
+    Returns (mult [n], add [n]) with seed_k = seed0 * mult[k] + add[k] (mod 2^16),
+    all int64 host-side.
+    """
+    a = 31821
+    c = (13849 + 32768 * 31821) % 65536
+    mult = np.zeros(n, np.int64)
+    add = np.zeros(n, np.int64)
+    m, ad = 1, 0
+    for k in range(n):
+        mult[k], add[k] = m, ad
+        m = (m * a) % 65536
+        ad = (ad * a + c) % 65536
+    return mult, add
+
+
+def noise_filling(cfg: Config, x, nf_seed, fac_ns_idx, bw_bin):
+    """processNoiseFilling_fl with the LCG advanced in closed form.
+
+    x: [B, N] decoded spectrum; nf_seed: [B] i32 (signed 16-bit);
+    bw_bin: [B] stopband cutoff. Returns filled spectrum.
+    """
+    B, N = x.shape
+    width = 3 if cfg.frame_dms == 100 else 1
+    start_off = {100: 24, 50: 12, 25: 6}[cfg.frame_dms]
+    fac = (8.0 - fac_ns_idx.astype(F32)) / 16.0
+
+    k = jnp.arange(N)[None, :]
+    nzm = x != 0.0
+    any_nz = jnp.zeros((B, N), jnp.bool_)
+    for off in range(-width, width + 1):
+        sh = jnp.roll(nzm, -off, axis=1)
+        valid = (k + off >= 0) & (k + off <= bw_bin[:, None] - 1)
+        any_nz = any_nz | (sh & valid)
+    zline = (k >= start_off) & (k < bw_bin[:, None]) & ~any_nz
+    rank = jnp.cumsum(zline, axis=-1) - 1                     # LCG step index
+
+    mult, add = _lcg_tables(N + 1)
+    mult = jnp.asarray(mult, jnp.uint32)
+    add = jnp.asarray(add, jnp.uint32)
+    seed_u = (nf_seed + 32768).astype(jnp.uint32)             # unsigned rep
+    r = jnp.clip(rank, 0, N - 1)
+    # seed AFTER (rank+1) advances decides the sign; uint32 wraparound is
+    # harmless because only the low 16 bits are kept
+    su = (seed_u[:, None] * mult[r + 1] + add[r + 1]) & jnp.uint32(65535)
+    sign_neg = su >= 32768  # signed seed < 0
+    fill = jnp.where(sign_neg, -fac[:, None], fac[:, None])
+    return jnp.where(zline, fill, x)
