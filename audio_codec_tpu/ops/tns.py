@@ -51,7 +51,7 @@ def _levinson(r, order: int):
     for t in range(1, order):
         s = sum(a[i] * r[:, i + 1] for i in range(t))
         g = (r[:, t + 1] - s) / v
-        a = [g] + [a[j - 1] - g * a[t - 1 - j] for j in range(1, t + 1)]
+        a = [g] + [a[j - 1] - g * a[t - j] for j in range(1, t + 1)]
         v = v * (1 - g * g)
         rc.append(-g)
     # reorder into polynomial [1, -a_reversed...] (tns_coder.c:88-100)
