@@ -1,0 +1,553 @@
+"""Batched 24-bit range coder (arithmetic codec) for the spectrum/TNS data.
+
+Reference: processAriEncoder_fl / processAriDecoder_fl (ari_codec.c).
+Every stream owns one lane of the [B]-vectorized coder state; the symbol
+sequence runs as a lax.scan over 2-tuples with masked fixed-trip inner loops
+(escape levels, carry runs), so there is no data-dependent control flow and
+the whole frame batch encodes in one fused XLA computation. The pending
+carry run (ac_shift_fl's carry_count loop, ari_codec.c:593-609) becomes a
+masked range-fill over the byte buffer.
+
+This is the correctness reference implementation; the Pallas entropy backend
+(lane-per-stream, ops/pallas/) supersedes it on the hot path.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import tables as T
+from ..config import Config
+from . import bits as B_
+
+I32 = jnp.int32
+F32 = jnp.float32
+MASK24 = (1 << 24) - 1
+
+
+class EncSt(NamedTuple):
+    buf: jnp.ndarray        # [B, nbytes] int32 byte values
+    bp: jnp.ndarray         # [B] forward byte pointer
+    low: jnp.ndarray        # [B]
+    range: jnp.ndarray      # [B]
+    cache: jnp.ndarray      # [B] (-1 initially)
+    carry: jnp.ndarray      # [B]
+    carry_count: jnp.ndarray  # [B]
+    bp_side: jnp.ndarray    # [B]
+    mask_side: jnp.ndarray  # [B]
+
+
+def enc_init(buf, bp_side, mask_side) -> EncSt:
+    B = buf.shape[0]
+    z = lambda v: jnp.full((B,), v, I32)
+    return EncSt(buf, z(0), z(0), z(MASK24), z(-1), z(0), z(0), bp_side, mask_side)
+
+
+def _ac_shift(st: EncSt, active) -> EncSt:
+    """ac_shift_fl (ari_codec.c:585-611), vectorized; `active` masks lanes."""
+    Bn, nbytes = st.buf.shape
+    rows = jnp.arange(Bn)
+    emit = active & ((st.low < 0xFF0000) | (st.carry == 1))
+    do_cache = emit & (st.cache >= 0)
+    val = (st.cache + st.carry) & 255
+    cur = st.buf[rows, jnp.clip(st.bp, 0, nbytes - 1)]
+    buf = st.buf.at[rows, jnp.clip(st.bp, 0, nbytes - 1)].set(
+        jnp.where(do_cache, val, cur))
+    bp = st.bp + do_cache.astype(I32)
+    # pending 0xFF/0x00 run
+    runval = (st.carry + 255) & 255
+    idx = jnp.arange(nbytes)[None, :]
+    fill = emit[:, None] & (idx >= bp[:, None]) & (idx < (bp + st.carry_count)[:, None])
+    buf = jnp.where(fill, runval[:, None], buf)
+    bp = bp + jnp.where(emit, st.carry_count, 0)
+    cache = jnp.where(emit, st.low >> 16, st.cache)
+    carry = jnp.where(emit, 0, st.carry)
+    cc = jnp.where(emit, 0, jnp.where(active, st.carry_count + 1, st.carry_count))
+    low = jnp.where(active, (st.low << 8) & MASK24, st.low)
+    return st._replace(buf=buf, bp=bp, low=low, cache=cache, carry=carry,
+                       carry_count=cc)
+
+
+def ac_encode(st: EncSt, sym_freq, cum_freq, active) -> EncSt:
+    """ac_encode_fl (ari_codec.c:565-583). sym_freq/cum_freq/active: [B]."""
+    r = st.range >> 10
+    low = st.low + jnp.where(active, r * cum_freq, 0)
+    carry = jnp.where(active & (low >> 24 == 1), 1, st.carry)
+    low = low & MASK24
+    rng = jnp.where(active, r * sym_freq, st.range)
+    st = st._replace(low=low, range=rng, carry=carry)
+    for _ in range(2):  # range >= 2^6 after mul → at most two renormalizations
+        need = active & (st.range < (1 << 16))
+        st = st._replace(range=jnp.where(need, st.range << 8, st.range))
+        st = _ac_shift(st, need)
+    return st
+
+
+def ac_finalize(st: EncSt) -> EncSt:
+    """ac_finalize_fl (ari_codec.c:641-697), vectorized."""
+    Bn, nbytes = st.buf.shape
+    rows = jnp.arange(Bn)
+    # bits = 24 - floor(log2(range)); range in [2^16, 2^24)
+    msb = 31 - jax.lax.clz(jnp.maximum(st.range, 1))
+    bits = 24 - msb
+    mask = MASK24 >> bits
+    val = st.low + mask
+    over1 = val >> 24
+    val = val & MASK24
+    high = st.low + st.range
+    over2 = high >> 24
+    high = high & MASK24
+    val = val & (MASK24 - mask)
+
+    same = over1 == over2
+    tight = same & (val + mask >= high)
+    bits = jnp.where(tight, bits + 1, bits)
+    mask2 = jnp.where(tight, mask >> 1, mask)
+    val = jnp.where(tight, ((st.low + mask2) & MASK24) & (MASK24 - mask2), val)
+    carry = jnp.where(same & (val < st.low), 1, st.carry)
+    st = st._replace(low=val, carry=carry)
+
+    b = bits
+    # if bits > 8: shift ceil(bits/8) times else once
+    n_shift = jnp.where(bits > 8, (bits + 7) // 8, 1)
+    for i in range(3):
+        st = _ac_shift(st, i < n_shift)
+    b = jnp.where(bits > 8, bits - 8 * n_shift, bits)
+    b = jnp.where(b < 0, b + 8, b)
+
+    # final cache/carry_count flush (ari_codec.c:676-695)
+    has_cc = st.carry_count > 0
+    cur = st.buf[rows, jnp.clip(st.bp, 0, nbytes - 1)]
+    buf = st.buf.at[rows, jnp.clip(st.bp, 0, nbytes - 1)].set(
+        jnp.where(has_cc, st.cache & 255, cur))
+    bp = st.bp + has_cc.astype(I32)
+    idx = jnp.arange(nbytes)[None, :]
+    fill = has_cc[:, None] & (idx >= bp[:, None]) & \
+        (idx < (bp + jnp.maximum(st.carry_count - 1, 0))[:, None])
+    buf = jnp.where(fill, 255, buf)
+    bp = bp + jnp.where(has_cc, jnp.maximum(st.carry_count - 1, 0), 0)
+    st = st._replace(buf=buf, bp=bp)
+
+    # write_uint_forward of remaining b bits, MSB first, at st.bp
+    wval = jnp.where(has_cc, jnp.where(b >= 8, 255 << (jnp.maximum(b, 8) - 8), 0),
+                     st.cache)
+    cur = st.buf[rows, jnp.clip(st.bp, 0, nbytes - 1)]
+    m = jnp.full((Bn,), 128, I32)
+    out = cur
+    for k in range(8):
+        act = k < b
+        bit = wval & m
+        out = jnp.where(act, jnp.where(bit == 0, out & (255 - m), out | m), out)
+        m = m >> 1
+    buf = st.buf.at[rows, jnp.clip(st.bp, 0, nbytes - 1)].set(out)
+    return st._replace(buf=buf)
+
+
+def _nbits_ari_enc(st: EncSt):
+    """Bit count consumed so far by the range coder (ari_codec.c:812-824)."""
+    msb = 31 - jax.lax.clz(jnp.maximum(st.range, 1))
+    nb = (st.bp + 1) * 8 + 25 - msb
+    nb = nb + jnp.where(st.cache >= 0, 8, 0)
+    nb = nb + st.carry_count * 8
+    return nb
+
+
+def _tuple_context(cfg: Config, xq, lastnz_wire):
+    """Recompute per-tuple (t, nlev, sym) arrays (quantize_spec.c:86-168).
+
+    xq must already be truncated. Returns dict of [B, N/2] arrays.
+    """
+    Bn, N = xq.shape
+    rate_flag = cfg.rateFlag
+    a_all = jnp.abs(xq[:, 0::2])
+    b_all = jnp.abs(xq[:, 1::2])
+    max_lev_iter = 21 if cfg.hrmode else 14
+
+    def body(c, k):
+        a = a_all[:, k]
+        b = b_all[:, k]
+        t = c + rate_flag + jnp.where(k > N // 4, 256, 0)
+        m = jnp.maximum(a, b)
+        nlev = jnp.where(m >= 4,
+                         jnp.maximum((31 - jax.lax.clz(jnp.maximum(m, 1))) - 1, 0), 0)
+        aa = a >> nlev
+        bb = b >> nlev
+        sym = aa + 4 * bb
+        in_range = (2 * k) < lastnz_wire
+        levm1 = jnp.minimum(nlev, 3) - 1
+        t_next = jnp.where(levm1 <= 0, 1 + (aa + bb) * (levm1 + 2), 13 + levm1)
+        c_new = jnp.where(in_range, (c & 15) * 16 + t_next, c)
+        return c_new, (t, nlev, sym)
+
+    _, (t, nlev, sym) = jax.lax.scan(body, jnp.zeros((Bn,), I32), jnp.arange(N // 2))
+    return dict(t=t.T, nlev=nlev.T, sym=sym.T)
+
+
+def encode(cfg: Config, buf, bp_side, mask_side, xq, tns_order, tns_idx,
+           num_tns_filters, lastnz_wire, lsb_mode, res_bits, n_res):
+    """Arithmetic encoder body + residual fill + finalize
+    (processAriEncoder_fl, ari_codec.c:726-866).
+
+    buf: [B, nbytes] with side info already packed; xq truncated spectrum.
+    Returns finished byte buffer [B, nbytes].
+    """
+    Bn, N = xq.shape
+    st = enc_init(buf, bp_side, mask_side)
+    max_lev_iter = 21 if cfg.hrmode else 14
+
+    # --- TNS data ---
+    tns_freq_cf = jnp.asarray(T.t("tns_freq_cf"), I32)    # [2, 9]
+    tns_cf = jnp.asarray(T.t("tns_cf"), I32)              # [8, 18]
+    lpcw = 1 if cfg.enable_lpc_weighting else 0
+    for f in range(2):
+        order = tns_order[:, f]
+        act_f = (f < num_tns_filters) & (order > 0)
+        sf = tns_freq_cf[lpcw, jnp.clip(order, 1, 8)] - tns_freq_cf[lpcw, jnp.clip(order, 1, 8) - 1]
+        cf = tns_freq_cf[lpcw, jnp.clip(order, 1, 8) - 1]
+        st = ac_encode(st, sf, cf, act_f)
+        for j in range(8):
+            act_j = act_f & (j < order)
+            idx = tns_idx[:, f, j]
+            sf = tns_cf[j, jnp.clip(idx + 1, 0, 17)] - tns_cf[j, jnp.clip(idx, 0, 17)]
+            cf = tns_cf[j, jnp.clip(idx, 0, 17)]
+            st = ac_encode(st, sf, cf, act_j)
+
+    # --- spectral 2-tuples ---
+    ctx = _tuple_context(cfg, xq, lastnz_wire)
+    lookup = jnp.asarray(T.t("ari_spec_lookup_fl"), I32)
+    cumf = jnp.asarray(T.t("ari_spec_cumfreq_fl"), I32)   # [64, 18]
+    a_all = jnp.abs(xq[:, 0::2])
+    b_all = jnp.abs(xq[:, 1::2])
+    neg_a = (xq[:, 0::2] < 0).astype(I32)
+    neg_b = (xq[:, 1::2] < 0).astype(I32)
+
+    # lsb-mode bookkeeping: collect LSB bits in order into a [B, N] array
+    lsb_store = jnp.zeros((Bn, N), I32)
+    lsb_count = jnp.zeros((Bn,), I32)
+
+    def tup_body(carry, k):
+        st, lsb_store, lsb_count = carry
+        in_range = (2 * k) < lastnz_wire
+        a = a_all[:, k]
+        b = b_all[:, k]
+        t = ctx["t"][:, k]
+        nlev = ctx["nlev"][:, k]
+        sym = ctx["sym"][:, k]
+        lsb1 = jnp.zeros((Bn,), I32)
+        lsb2 = jnp.zeros((Bn,), I32)
+        for lev in range(max_lev_iter):
+            act = in_range & (lev < nlev)
+            lev1 = min(lev, 3)
+            pki = lookup[jnp.clip(t + lev1 * 1024, 0, 4095)]
+            sf = cumf[pki, 17] - cumf[pki, 16]
+            cf = cumf[pki, 16]
+            st = ac_encode(st, sf, cf, act)
+            bit1 = (a >> lev) & 1
+            bit2 = (b >> lev) & 1
+            if lev == 0:
+                save = (lsb_mode == 1)
+                lsb1 = jnp.where(act, bit1, lsb1)
+                lsb2 = jnp.where(act, bit2, lsb2)
+                wr = act & ~save
+            else:
+                wr = act
+            nbuf, nbp, nmask = B_.write_bit_backward(
+                st.buf, st.bp_side, st.mask_side, bit1, wr)
+            st = st._replace(buf=nbuf, bp_side=nbp, mask_side=nmask)
+            nbuf, nbp, nmask = B_.write_bit_backward(
+                st.buf, st.bp_side, st.mask_side, bit2, wr)
+            st = st._replace(buf=nbuf, bp_side=nbp, mask_side=nmask)
+        pki = lookup[jnp.clip(t + jnp.minimum(nlev, 3) * 1024, 0, 4095)]
+        sf = cumf[pki, jnp.clip(sym, 0, 16) + 1] - cumf[pki, jnp.clip(sym, 0, 16)]
+        cf = cumf[pki, jnp.clip(sym, 0, 16)]
+        st = ac_encode(st, sf, cf, in_range)
+
+        # lsbMode==1 LSB collection (ari_codec.c:786-812)
+        collect = in_range & (lsb_mode == 1) & (nlev > 0)
+        a1 = a >> 1
+        b1 = b >> 1
+        rows = jnp.arange(Bn)
+
+        def push(store, count, val, do):
+            store = store.at[rows, jnp.clip(count, 0, N - 1)].set(
+                jnp.where(do, val, store[rows, jnp.clip(count, 0, N - 1)]))
+            return store, count + do.astype(I32)
+
+        lsb_store, lsb_count = push(lsb_store, lsb_count, lsb1, collect)
+        lsb_store, lsb_count = push(lsb_store, lsb_count, neg_a[:, k],
+                                    collect & (a1 == 0) & (a != 0))
+        lsb_store, lsb_count = push(lsb_store, lsb_count, lsb2, collect)
+        lsb_store, lsb_count = push(lsb_store, lsb_count, neg_b[:, k],
+                                    collect & (b1 == 0) & (b != 0))
+
+        # sign bits (a/b shifted when lsbMode collected)
+        a_eff = jnp.where((lsb_mode == 1) & (nlev > 0), a1, a)
+        b_eff = jnp.where((lsb_mode == 1) & (nlev > 0), b1, b)
+        nbuf, nbp, nmask = B_.write_bit_backward(
+            st.buf, st.bp_side, st.mask_side, neg_a[:, k], in_range & (a_eff != 0))
+        st = st._replace(buf=nbuf, bp_side=nbp, mask_side=nmask)
+        nbuf, nbp, nmask = B_.write_bit_backward(
+            st.buf, st.bp_side, st.mask_side, neg_b[:, k], in_range & (b_eff != 0))
+        st = st._replace(buf=nbuf, bp_side=nbp, mask_side=nmask)
+        return (st, lsb_store, lsb_count), None
+
+    (st, lsb_store, lsb_count), _ = jax.lax.scan(
+        tup_body, (st, lsb_store, lsb_count), jnp.arange(N // 2))
+
+    # --- residual / LSB bits (ari_codec.c:826-860) ---
+    total_bits = cfg.targetBitsAri
+    log2_mask = 31 - jax.lax.clz(jnp.maximum(st.mask_side, 1))
+    nbits_side = total_bits - (8 * (st.bp_side + 1) + 8 - log2_mask)
+    nbits_ari = _nbits_ari_enc(st)
+    nbits_res = jnp.maximum(total_bits - (nbits_side + nbits_ari), 0)
+    n_fill = jnp.where(lsb_mode == 0, jnp.minimum(nbits_res, n_res),
+                       jnp.minimum(nbits_res, lsb_count))
+    fill_bits = jnp.where((lsb_mode == 0)[:, None], res_bits, lsb_store)
+    max_fill = min(int(fill_bits.shape[1]), total_bits)
+
+    def fill_body(st, k):
+        act = k < n_fill
+        bit = fill_bits[:, k]
+        nbuf, nbp, nmask = B_.write_bit_backward(
+            st.buf, st.bp_side, st.mask_side, bit, act)
+        return st._replace(buf=nbuf, bp_side=nbp, mask_side=nmask), None
+
+    st, _ = jax.lax.scan(fill_body, st, jnp.arange(max_fill))
+    st = ac_finalize(st)
+    return st.buf
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+class DecSt(NamedTuple):
+    buf: jnp.ndarray
+    bp: jnp.ndarray
+    low: jnp.ndarray
+    range: jnp.ndarray
+    ber: jnp.ndarray
+    bp_side: jnp.ndarray
+    mask_side: jnp.ndarray
+
+
+def dec_init(buf, bp_side, mask_side) -> DecSt:
+    Bn, nbytes = buf.shape
+    rows = jnp.arange(Bn)
+    low = jnp.zeros((Bn,), I32)
+    for i in range(3):
+        low = (low << 8) + buf[rows, i]
+    return DecSt(buf, jnp.full((Bn,), 3, I32), low,
+                 jnp.full((Bn,), MASK24, I32), jnp.zeros((Bn,), I32),
+                 bp_side, mask_side)
+
+
+def ac_decode(st: DecSt, cum_freq_rows, num_sym: int, active) -> tuple[DecSt, jnp.ndarray]:
+    """ac_decode_fl (ari_codec.c:115-146). cum_freq_rows: [B, num_sym+1]
+    per-stream cumulative frequency table (cf[num_sym] = 1024)."""
+    Bn, nbytes = st.buf.shape
+    rows = jnp.arange(Bn)
+    tmp = st.range >> 10
+    ber = jnp.where(active & (st.low >= (tmp << 10)), 1, st.ber)
+    below = tmp[:, None] * cum_freq_rows[:, :num_sym] <= st.low[:, None]
+    val = jnp.sum(below.astype(I32), axis=1) - 1
+    val = jnp.clip(val, 0, num_sym - 1)
+    cf = jnp.take_along_axis(cum_freq_rows, val[:, None], 1)[:, 0]
+    sf = jnp.take_along_axis(cum_freq_rows, val[:, None] + 1, 1)[:, 0] - cf
+    low = jnp.where(active, st.low - tmp * cf, st.low)
+    rng = jnp.where(active, tmp * sf, st.range)
+    bp = st.bp
+    for _ in range(2):
+        need = active & (rng < (1 << 16))
+        byte = st.buf[rows, jnp.clip(bp, 0, nbytes - 1)]
+        low = jnp.where(need, ((low << 8) & MASK24) + byte, low)
+        bp = bp + need.astype(I32)
+        rng = jnp.where(need, rng << 8, rng)
+    return st._replace(low=low, range=rng, bp=bp, ber=ber), val
+
+
+def decode(cfg: Config, buf, side):
+    """processAriDecoder_fl: spectrum + TNS coefficients + residual bits.
+
+    side: dict from bits.parse_side_info. Returns dict with x [B, N] i32,
+    tns_idx [B,2,8], tns_order, nf_seed, zero_frame, residual bits, bfi.
+    """
+    Bn, nbytes = buf.shape
+    N = cfg.yLen
+    lastnz = side["lastnz"]
+    lsb_mode = side["lsb_mode"]
+    st = dec_init(buf, side["bp_side"], side["mask_side"])
+    bfi = jnp.zeros((Bn,), I32)
+    max_lev_iter = 22 if cfg.hrmode else 14
+
+    # --- TNS ---
+    tns_max = 8 if cfg.frame_dms == 100 else 4
+    order_cf = jnp.asarray(T.t("ari_tns_order_cf"), I32)   # [2, 9]
+    coef_cf = jnp.asarray(T.t("ari_tns_freq_cf"), I32)     # [8, 18]
+    lpcw = 1 if cfg.enable_lpc_weighting else 0
+    tns_order = jnp.zeros((Bn, 2), I32)
+    tns_idx = jnp.zeros((Bn, 2, 8), I32)
+    for f in range(2):
+        act_f = (f < side["num_tns"]) & (side["tns_on"][:, f] > 0)
+        cfr = jnp.broadcast_to(order_cf[lpcw][None, :], (Bn, 9))
+        st, val = ac_decode(st, cfr, 8, act_f)
+        order = val + 1
+        bfi = jnp.where(act_f & (order > tns_max), 1, bfi)
+        tns_order = tns_order.at[:, f].set(jnp.where(act_f, order, 0))
+        for k in range(8):
+            act_k = act_f & (k < order)
+            bfi = bfi | jnp.where(act_k & (st.bp_side < st.bp), 1, 0)
+            cfr = jnp.broadcast_to(coef_cf[k][None, :], (Bn, 18))
+            st, v = ac_decode(st, cfr, 17, act_k)
+            tns_idx = tns_idx.at[:, f, k].set(jnp.where(act_k, v, 0))
+    bfi = bfi | st.ber
+
+    # --- spectrum ---
+    lookup = jnp.asarray(T.t("ari_spec_lookup_fl"), I32)
+    cumf = jnp.asarray(T.t("ari_spec_cumfreq_fl"), I32)    # [64, 18]
+    rate_flag = cfg.rateFlag if cfg.fs_idx != 5 else 0
+
+    x = jnp.zeros((Bn, N), I32)
+    save_lev = jnp.zeros((Bn, N // 2), I32)
+
+    def tup_body(carry, k):
+        st, x, save_lev, c, bfi = carry
+        in_range = ((2 * k) < lastnz) & (bfi == 0)
+        t = c + rate_flag + jnp.where(k > N // 4, 256, 0)
+        ak = jnp.zeros((Bn,), I32)
+        bk = jnp.zeros((Bn,), I32)
+        lev_fin = jnp.zeros((Bn,), I32)
+        sym_fin = jnp.zeros((Bn,), I32)
+        done = jnp.zeros((Bn,), jnp.bool_)
+        for lev in range(max_lev_iter):
+            act = in_range & ~done
+            lev1 = min(lev, 3)
+            pki = lookup[jnp.clip(t + lev1 * 1024, 0, 4095)]
+            st, sym = ac_decode(st, cumf[pki], 17, act)
+            is_esc = sym >= 16
+            # escape: read two LSB bits unless (lsbMode==1 and lev==0)
+            rd = act & is_esc & ((lsb_mode == 0) | (lev > 0))
+            bit1, nbp, nmask = B_.read_bit(st.buf, st.bp_side, st.mask_side)
+            bp_side = jnp.where(rd, nbp, st.bp_side)
+            mask_side = jnp.where(rd, nmask, st.mask_side)
+            ak = jnp.where(rd, ak + (bit1 << lev), ak)
+            st = st._replace(bp_side=bp_side, mask_side=mask_side)
+            bit2, nbp, nmask = B_.read_bit(st.buf, st.bp_side, st.mask_side)
+            bp_side = jnp.where(rd, nbp, st.bp_side)
+            mask_side = jnp.where(rd, nmask, st.mask_side)
+            bk = jnp.where(rd, bk + (bit2 << lev), bk)
+            st = st._replace(bp_side=bp_side, mask_side=mask_side)
+            hit = act & ~is_esc
+            lev_fin = jnp.where(hit, lev, lev_fin)
+            sym_fin = jnp.where(hit, sym, sym_fin)
+            done = done | hit
+            lev_fin = jnp.where(act & is_esc, lev + 1, lev_fin)  # track loop exit level
+        # BER: exhausted all 14 levels with escape (non-HR only, ari_codec.c:330)
+        if not cfg.hrmode:
+            bfi = jnp.where(in_range & ~done & (lev_fin - 1 == 13), 1, bfi)
+            lev_eff = jnp.minimum(lev_fin, 13)
+        else:
+            lev_eff = lev_fin
+        save_lev = save_lev.at[:, k].set(jnp.where(in_range, lev_eff, 0))
+        a_fin = sym_fin & 3
+        b_fin = sym_fin >> 2
+        ak = ak + jnp.where(in_range, a_fin << lev_eff, 0)
+        bk = bk + jnp.where(in_range, b_fin << lev_eff, 0)
+        # signs
+        rd = in_range & (ak > 0)
+        bit, nbp, nmask = B_.read_bit(st.buf, st.bp_side, st.mask_side)
+        st = st._replace(bp_side=jnp.where(rd, nbp, st.bp_side),
+                         mask_side=jnp.where(rd, nmask, st.mask_side))
+        ak = jnp.where(rd & (bit == 1), -ak, ak)
+        rd = in_range & (bk > 0)
+        bit, nbp, nmask = B_.read_bit(st.buf, st.bp_side, st.mask_side)
+        st = st._replace(bp_side=jnp.where(rd, nbp, st.bp_side),
+                         mask_side=jnp.where(rd, nmask, st.mask_side))
+        bk = jnp.where(rd & (bit == 1), -bk, bk)
+        rows = jnp.arange(Bn)
+        x = x.at[rows, jnp.clip(2 * k, 0, N - 1)].set(
+            jnp.where(in_range, ak, x[rows, jnp.clip(2 * k, 0, N - 1)]))
+        x = x.at[rows, jnp.clip(2 * k + 1, 0, N - 1)].set(
+            jnp.where(in_range, bk, x[rows, jnp.clip(2 * k + 1, 0, N - 1)]))
+        # context update
+        lev1 = jnp.minimum(lev_eff, 3)
+        t_next = jnp.where(lev1 <= 1, 1 + (a_fin + b_fin) * (lev1 + 1), 12 + lev1)
+        c = jnp.where(in_range, (c & 15) * 16 + t_next, c)
+        bfi = jnp.where(in_range & ((st.bp - st.bp_side) > 3), 1, bfi)
+        bfi = bfi | st.ber
+        return (st, x, save_lev, c, bfi), None
+
+    (st, x, save_lev, _, bfi), _ = jax.lax.scan(
+        tup_body, (st, x, save_lev, jnp.zeros((Bn,), I32), bfi),
+        jnp.arange(N // 2))
+
+    # --- residual bits ---
+    total_bits = cfg.targetBytes * 8
+    log2_mask = 31 - jax.lax.clz(jnp.maximum(st.mask_side, 1))
+    nbits_side = total_bits - (8 * (st.bp_side + 1) + 8 - log2_mask)
+    msb_r = 31 - jax.lax.clz(jnp.maximum(st.range, 1))
+    nbits_ari = (st.bp + 1 - 3) * 8 + 25 - msb_r
+    nbits_residual = total_bits - (nbits_side + nbits_ari)
+    bfi = jnp.where(nbits_residual < 0, 1, bfi)
+    nbits_residual = jnp.maximum(nbits_residual, 0)
+
+    # lsb_mode == 0: plain residual bits, one per nonzero coefficient
+    nz_count = jnp.sum((x != 0).astype(I32), axis=1)
+    n_res0 = jnp.minimum(nbits_residual, nz_count)
+    max_res = min(N, total_bits)
+    res_bits = jnp.zeros((Bn, max_res), I32)
+
+    def res_body(carry, k):
+        st, res_bits = carry
+        act = (lsb_mode == 0) & (k < n_res0) & (bfi == 0)
+        bit, nbp, nmask = B_.read_bit(st.buf, st.bp_side, st.mask_side)
+        st = st._replace(bp_side=jnp.where(act, nbp, st.bp_side),
+                         mask_side=jnp.where(act, nmask, st.mask_side))
+        rows = jnp.arange(Bn)
+        res_bits = res_bits.at[rows, k].set(jnp.where(act, bit, res_bits[rows, k]))
+        return (st, res_bits), None
+
+    (st, res_bits), _ = jax.lax.scan(res_body, (st, res_bits), jnp.arange(max_res))
+
+    # lsb_mode == 1: apply LSB refinement inline (ari_codec.c:476-556)
+    def lsb_body(carry, k):
+        st, x, budget = carry
+        rows = jnp.arange(Bn)
+        has = (lsb_mode == 1) & (save_lev[:, k] > 0) & ((2 * k) < lastnz) & (bfi == 0)
+        for pos in range(2):
+            idx = 2 * k + pos
+            act = has & (budget > 0)
+            bit, nbp, nmask = B_.read_bit(st.buf, st.bp_side, st.mask_side)
+            st = st._replace(bp_side=jnp.where(act, nbp, st.bp_side),
+                             mask_side=jnp.where(act, nmask, st.mask_side))
+            budget = budget - act.astype(I32)
+            xv = x[rows, jnp.clip(idx, 0, N - 1)]
+            # bit==1 and xv!=0 → move away from zero
+            upd = jnp.where(xv > 0, xv + 1, jnp.where(xv < 0, xv - 1, xv))
+            xv2 = jnp.where(act & (bit == 1) & (xv != 0), upd, xv)
+            # xv==0 → need second bit for sign
+            act2 = act & (bit == 1) & (xv == 0) & (budget > 0)
+            bit2, nbp, nmask = B_.read_bit(st.buf, st.bp_side, st.mask_side)
+            st = st._replace(bp_side=jnp.where(act2, nbp, st.bp_side),
+                             mask_side=jnp.where(act2, nmask, st.mask_side))
+            budget = budget - act2.astype(I32)
+            xv2 = jnp.where(act2, jnp.where(bit2 == 0, 1, -1), xv2)
+            x = x.at[rows, jnp.clip(idx, 0, N - 1)].set(xv2)
+        return (st, x, budget), None
+
+    (st, x, _), _ = jax.lax.scan(lsb_body, (st, x, nbits_residual),
+                                 jnp.arange(N // 2))
+
+    # noise-filling seed + zero frame (ari_codec.c:565-580)
+    kidx = jnp.arange(N)[None, :]
+    nf_seed = jnp.sum(jnp.abs(x) * kidx, axis=1) & 65535
+    nf_seed = jnp.where(nf_seed >= 32768, nf_seed - 65536, nf_seed)
+    zero_frame = ((lastnz == 2) & (x[:, 0] == 0) & (x[:, 1] == 0)
+                  & (side["gg_idx"] == 0) & (side["fac_ns_idx"] == 7)).astype(I32)
+    bfi = bfi | st.ber
+    return dict(x=x, tns_order=tns_order, tns_idx=tns_idx, nf_seed=nf_seed,
+                zero_frame=zero_frame, res_bits=res_bits,
+                n_res=jnp.where(lsb_mode == 0, n_res0, 0),
+                residual_present=(lsb_mode == 0).astype(I32), bfi=bfi)

@@ -25,6 +25,11 @@ from ..config import Config
 
 F32 = jnp.float32
 I32 = jnp.int32
+
+
+def round_c(x):
+    """C round(): half away from zero (jnp.round is half-even)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 NBITS_CTX_MAX_LEV = 13
 
 
@@ -45,7 +50,7 @@ def estimate_global_gain(cfg: Config, x, nbitsSQ, targetBitsOff, old_targetBits,
     targetBitsOff = jnp.where(valid, 0.8 * targetBitsOff + 0.2 * tmp,
                               jnp.zeros_like(targetBitsOff))
     new_old_targetBits = jnp.full((B,), nbitsSQ, I32)
-    nbits_adj = nbitsSQ + jnp.round(targetBitsOff).astype(I32)
+    nbits_adj = nbitsSQ + round_c(targetBitsOff).astype(I32)
 
     x_max = jnp.max(jnp.abs(x), axis=-1)
 
@@ -182,8 +187,8 @@ def bit_estimate(cfg: Config, xq, target, mode):
         lastnz2_new = jnp.where(hit, 2 * k + 2, lastnz2)
         nbits2_new = jnp.where(hit, nbits_new, nbits2)
 
-        # context update (quantize_spec.c:158-166)
-        levm1 = nlev.astype(I32) - 1
+        # context update (quantize_spec.c:158-166); lev1 is capped at 3
+        levm1 = jnp.minimum(nlev, 3).astype(I32) - 1
         t_next = jnp.where(levm1 <= 0, 1 + (aa + bb) * (levm1 + 2), 13 + levm1)
         c_new = (c & 15) * 16 + t_next
         c_new = jnp.where(in_range, c_new, c)
@@ -228,7 +233,7 @@ def adjust_global_gain(cfg: Config, gg_idx, gg_min, gain, target, nbits):
     delta = jnp.where(nb < p1, (nb + 48.0) / 16.0,
                       jnp.where(nb < p2, (nb + d) * c,
                                 jnp.where(nb < p3, nb / 48.0, p3 / 48.0)))
-    delta = jnp.round(delta)
+    delta = round_c(delta)
     delta2 = delta + 2
 
     over = nbits > target
@@ -284,7 +289,7 @@ def noise_factor(cfg: Config, x, xq, gain, bw_bin):
         nsf2 = jnp.sum(jnp.where(hi, vals, 0.0), -1) / nhi
         fac = jnp.where(kcnt > 0, jnp.minimum(nsf1, nsf2), fac)
 
-    idx = jnp.round(8.0 - 16.0 * fac)
+    idx = round_c(8.0 - 16.0 * fac)
     return jnp.clip(idx, 0, 7).astype(I32)
 
 
@@ -344,7 +349,9 @@ def _lcg_tables(n: int):
     all int64 host-side.
     """
     a = 31821
-    c = (13849 + 32768 * 31821) % 65536
+    # in u = seed + 32768 representation the masked update collapses to
+    # u' = (u * a + 13849) mod 2^16 (the ±32768 offsets cancel, a odd)
+    c = 13849
     mult = np.zeros(n, np.int64)
     add = np.zeros(n, np.int64)
     m, ad = 1, 0
@@ -384,6 +391,6 @@ def noise_filling(cfg: Config, x, nf_seed, fac_ns_idx, bw_bin):
     # seed AFTER (rank+1) advances decides the sign; uint32 wraparound is
     # harmless because only the low 16 bits are kept
     su = (seed_u[:, None] * mult[r + 1] + add[r + 1]) & jnp.uint32(65535)
-    sign_neg = su >= 32768  # signed seed < 0
+    sign_neg = su < 32768  # signed seed = su - 32768 < 0
     fill = jnp.where(sign_neg, -fac[:, None], fac[:, None])
     return jnp.where(zline, fill, x)
