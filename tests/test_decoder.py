@@ -95,12 +95,9 @@ def test_decoder_full_stream(rig):
     ours = np.concatenate(outs)
     pcm_gold, fs = oracle.read_wav_mono(wav)
     assert fs == 16000
-    best = None
-    for d in range(0, 400):
-        g = pcm_gold[d: d + len(ours) - 400, 0].astype(np.float64)
-        o = ours[: len(g)].astype(np.float64)
-        err = np.sqrt(np.mean((g - o) ** 2))
-        if best is None or err < best[1]:
-            best = (d, err)
-    d, err = best
-    assert err < 6.0, best  # ≈ -75 dBFS: well inside the 14-bit RMS criterion
+    # the oracle CLI trims the 2.5 ms algorithmic delay from its output
+    delay = int(2.5 * CFG.fs / 1000)
+    n = min(len(ours) - delay, len(pcm_gold))
+    diff = ours[delay: delay + n].astype(np.float64) - pcm_gold[:n, 0].astype(np.float64)
+    err = np.sqrt(np.mean(diff ** 2))
+    assert err < 0.1, err  # sample-exact up to PCM rounding
