@@ -57,7 +57,7 @@ def enc_state_init(cfg: Config, n_streams: int) -> EncState:
         r12k8_mem_50=z(2),
         r12k8_mem_out=z(24),
         olpa_mem_s12k8=z(3),
-        olpa_mem_s6k4=z(T.LEN_6K4 + T.MAX_PITCH_6K4 + 16),
+        olpa_mem_s6k4=z(T.MAX_PITCH_6K4 + (16 if cfg.frame_dms == 25 else 0)),
         olpa_mem_pitch=jnp.full((B,), 17, i32),
         ltpf_mem_in=z(cfg.ltpf_mem_in_len),
         ltpf_mem_normcorr=z(),

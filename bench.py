@@ -25,7 +25,7 @@ def main() -> None:
 
     cfg = Config(fs_in=48000, bitrate=64000)
     dev = jax.devices()[0]
-    B = int(__import__("os").environ.get("BENCH_STREAMS", "256"))
+    B = int(__import__("os").environ.get("BENCH_STREAMS", "1024"))
     T = int(__import__("os").environ.get("BENCH_FRAMES", "16"))
 
     @jax.jit
