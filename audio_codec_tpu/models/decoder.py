@@ -56,7 +56,13 @@ def decode_frame(cfg: Config, st: DecState, frame_bytes: jnp.ndarray,
         cfg, x, st.plc_q_d_prev, bfi, st.plc_nbLostCmpt, st.plc_cum_alpha,
         st.plc_seed)
 
-    pcm, imdct_mem = transforms.imdct(cfg, x, st.imdct_mem)
+    # bins above yLen are always zero at the IMDCT input (dec_lc3_fl.c keeps
+    # sqQdec_fl sized MAX_LEN but only writes yLen entries)
+    if cfg.frame_length > N:
+        x_full = jnp.pad(x, ((0, 0), (0, cfg.frame_length - N)))
+    else:
+        x_full = x
+    pcm, imdct_mem = transforms.imdct(cfg, x_full, st.imdct_mem)
 
     nb_lost, cum_alpha, prev_bfi, prevprev_bfi = plc.plc_update(
         bfi, nb_lost, cum_alpha, st.plc_prevBfi, st.plc_prevprevBfi)

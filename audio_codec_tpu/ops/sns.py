@@ -373,7 +373,19 @@ def interpolate_scf(cfg: Config, scf_q, encoder_side: bool):
 
 
 def mdct_shaping(cfg: Config, d, gains):
-    """Multiply each bin by its band gain (processMdctShaping_fl)."""
+    """Multiply each bin by its band gain (processMdctShaping_fl).
+
+    Accepts [B, frame_length] or [B, yLen] spectra; bins at or above the
+    last band boundary pass through unchanged (mdct_shaping.c only touches
+    j < bands_offset[last]).
+    """
+    n = d.shape[1]
     idx = jnp.asarray(T.band_expand_indices(cfg.fs_idx, cfg.frame_dms,
-                                            cfg.hrmode, cfg.frame_length))
-    return d * gains[:, idx]
+                                            cfg.hrmode, cfg.frame_length))[:n]
+    off = T.bands_offset(cfg.fs_idx, cfg.frame_dms, cfg.hrmode)
+    last = int(off[-1])
+    shaped = d * gains[:, idx]
+    if n > last:
+        k = jnp.arange(n)[None, :]
+        shaped = jnp.where(k < last, shaped, d)
+    return shaped
