@@ -111,7 +111,7 @@ def main(argv=None) -> int:
             pcm = dec.decode(fr, bfi=bfi)
             out.append(pcm.T)
         pcm = np.concatenate(out, axis=0)
-        delay = int(2.5 * cfg.fs / 1000) if cfg.frame_dms >= 50 else int(2.0 * cfg.fs / 1000)
+        delay = cfg.frame_length - 2 * cfg.la_zeroes  # lc3_enc_get_delay
         pcm = pcm[delay: delay + h.signal_len if h.signal_len else None]
         wavio.write_wav(args.output, pcm, h.samplerate,
                         sampwidth=2 if args.bps == 16 else (args.bps // 8))
@@ -127,7 +127,7 @@ def main(argv=None) -> int:
         for fr in frames_out:
             out.append(dec.decode(fr, bfi=False).T)
         pcm_out = np.concatenate(out, axis=0)
-        delay = int(2.5 * cfg.fs / 1000) if cfg.frame_dms >= 50 else int(2.0 * cfg.fs / 1000)
+        delay = cfg.frame_length - 2 * cfg.la_zeroes
         pcm_out = pcm_out[delay: delay + n_samples]
         wavio.write_wav(args.output, pcm_out, fs)
         return 0

@@ -72,13 +72,13 @@ class StreamDecoder:
         Returns [n_streams, frame_length] int16 PCM."""
         nb = self.cfg.targetBytes
         if not bfi and len(payload) and len(payload) != nb * self.n:
-            # frame-size switch (update_dec_bitrate semantics)
+            # frame-size switch without state reset (update_dec_bitrate,
+            # setup_dec_lc3.c:203): derive the bitrate giving this byte count
             per = len(payload) // self.n
-            new_rate = per * 8 * self.cfg.fs_in * 10 // (self.cfg.frame_dms * 100)
-            # derive bitrate that yields this byte count
-            new_rate = per * 8 * (10000 // self.cfg.frame_dms) * 100
-            self.cfg = self.cfg.with_bitrate(per * 8 * 1000 * 10 // int(self.cfg.frame_ms))
+            self.cfg = self.cfg.with_bitrate(per * 8 * 10000 // self.cfg.frame_dms
+                                             * self.n)
             nb = self.cfg.targetBytes
+            assert nb == per, (nb, per)
         if bfi or not len(payload):
             buf = np.zeros((self.n, nb), np.uint8)
             bflag = np.ones((self.n,), np.int32)

@@ -304,8 +304,11 @@ def encode(cfg: Config, buf, bp_side, mask_side, xq, tns_order, tns_idx,
     nbits_res = jnp.maximum(total_bits - (nbits_side + nbits_ari), 0)
     n_fill = jnp.where(lsb_mode == 0, jnp.minimum(nbits_res, n_res),
                        jnp.minimum(nbits_res, lsb_count))
-    fill_bits = jnp.where((lsb_mode == 0)[:, None], res_bits, lsb_store)
-    max_fill = min(int(fill_bits.shape[1]), total_bits)
+    width = max(int(res_bits.shape[1]), int(lsb_store.shape[1]))
+    res_p = jnp.pad(res_bits, ((0, 0), (0, width - res_bits.shape[1])))
+    lsb_p = jnp.pad(lsb_store, ((0, 0), (0, width - lsb_store.shape[1])))
+    fill_bits = jnp.where((lsb_mode == 0)[:, None], res_p, lsb_p)
+    max_fill = min(width, total_bits)
 
     def fill_body(st, k):
         act = k < n_fill
@@ -493,10 +496,13 @@ def decode(cfg: Config, buf, side):
     bfi = jnp.where(nbits_residual < 0, 1, bfi)
     nbits_residual = jnp.maximum(nbits_residual, 0)
 
-    # lsb_mode == 0: plain residual bits, one per nonzero coefficient
+    # lsb_mode == 0: residual bits, one per nonzero coefficient (x20 in HR)
+    from .quant import residual_max_bits
     nz_count = jnp.sum((x != 0).astype(I32), axis=1)
+    if cfg.hrmode:
+        nz_count = nz_count * 20  # EXT_RES_ITER_MAX (ari_codec.c:441-444)
     n_res0 = jnp.minimum(nbits_residual, nz_count)
-    max_res = min(N, total_bits)
+    max_res = min(residual_max_bits(cfg), total_bits)
     res_bits = jnp.zeros((Bn, max_res), I32)
 
     def res_body(carry, k):

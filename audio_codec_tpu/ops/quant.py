@@ -297,31 +297,63 @@ def noise_factor(cfg: Config, x, xq, gain, bw_bin):
 # residual coding
 # ---------------------------------------------------------------------------
 
-def residual_encode(cfg: Config, x, xq, gain, target, nbits2):
-    """processResidualCoding_fl (non-HR single pass).
+def residual_max_bits(cfg: Config) -> int:
+    """Size of the residual bit buffer (one bit/coef, or 20 rounds in HR)."""
+    iters = 20 if cfg.hrmode else 1  # EXT_RES_ITER_MAX
+    return min(cfg.yLen * iters, T.MAX_RESBITS)
 
-    Returns (res_bits [B, MAX_RES] i32 0/1, n_res [B]).
-    Bit n corresponds to the n-th nonzero coefficient in index order.
+
+def residual_encode(cfg: Config, x, xq, gain, target, nbits2):
+    """processResidualCoding_fl.
+
+    Non-HR: one sign-refinement bit per nonzero coefficient. HR: up to 20
+    rounds with halving offsets, the spectrum nudged between rounds
+    (residual_coding.c:40-75). Returns (res_bits [B, max_res] i32, n_res [B]).
+    Bit n = round-major, nonzero-coefficient order within a round.
     """
     B, N = x.shape
-    m = target - nbits2 + 4
+    m = target - nbits2 + 4 + (10 if cfg.hrmode else 0)
     nz = xq != 0
     rank = jnp.cumsum(nz, axis=-1) - 1                       # rank of each nz coef
-    bit_val = (x >= xq.astype(F32) * gain[:, None]).astype(I32)
-    n_res = jnp.minimum(jnp.sum(nz, axis=-1), jnp.maximum(m, 0))
-    max_res = N  # at most one bit per coefficient in non-HR mode
+    n_nz = jnp.sum(nz, axis=-1)
+    xqg = xq.astype(F32) * gain[:, None]
+    max_res = residual_max_bits(cfg)
+    iters = 20 if cfg.hrmode else 1
+    offset = F32(0.25)
     res = jnp.zeros((B, max_res), I32)
-    scat = jnp.where(nz, rank, max_res - 1)
-    res = res.at[jnp.arange(B)[:, None], scat].max(jnp.where(nz, bit_val, 0),
-                                                   mode="drop")
+    rows = jnp.arange(B)[:, None]
+    for r in range(iters):
+        bit = (x >= xqg).astype(I32)
+        x = jnp.where(nz, jnp.where(bit == 1, x - gain[:, None] * offset,
+                                    x + gain[:, None] * offset), x)
+        pos = r * n_nz[:, None] + rank
+        scat = jnp.where(nz, jnp.clip(pos, 0, max_res - 1), max_res - 1)
+        res = res.at[rows, scat].max(jnp.where(nz & (pos < max_res), bit, 0),
+                                     mode="drop")
+        offset = offset * 0.5
+    n_res = jnp.minimum(n_nz * iters, jnp.maximum(m, 0))
     return res, n_res.astype(I32)
 
 
 def residual_decode(cfg: Config, x, res_bits, n_res):
-    """processResidualDecoding_fl (non-HR): apply ±3/16, ±5/16 nudges."""
+    """processResidualDecoding_fl: non-HR ±3/16, ±5/16 nudges; HR iterative
+    ±offset rounds with halving (residual_decoding.c:27-75)."""
     B, N = x.shape
     nz = x != 0.0
     rank = jnp.cumsum(nz, axis=-1) - 1
+    n_nz = jnp.sum(nz, axis=-1)
+    if cfg.hrmode:
+        offset = F32(0.25)
+        out = x
+        for r in range(20):
+            pos = r * n_nz[:, None] + rank
+            active = nz & (pos < n_res[:, None])
+            bit = jnp.take_along_axis(
+                res_bits, jnp.clip(pos, 0, res_bits.shape[1] - 1), 1)
+            out = jnp.where(active, jnp.where(bit == 0, out - offset,
+                                              out + offset), out)
+            offset = offset * 0.5
+        return out
     active = nz & (rank < n_res[:, None])
     bit = jnp.take_along_axis(res_bits, jnp.clip(rank, 0, res_bits.shape[1] - 1), 1)
     off1, off2 = F32(0.1875), F32(0.3125)

@@ -1,4 +1,4 @@
-"""5 ms and 2.5 ms frame-duration modes: interop + decoder parity."""
+"""High-resolution mode (48/96 kHz HR): interop + decoder parity."""
 import subprocess
 
 import numpy as np
@@ -10,18 +10,30 @@ from audio_codec_tpu.engine import _dec_step, _enc_step
 from audio_codec_tpu.models import decoder as dec_m
 from audio_codec_tpu.models import state as S
 from audio_codec_tpu.utils import bitstream_io as bio
+from audio_codec_tpu.utils import wavio
 from tests import oracle
 
-NF = 100
+NF = 50
 
 
-@pytest.mark.parametrize("frame_dms,bitrate", [(50, 32000), (25, 64000)])
-def test_frame_mode_roundtrip(tmp_path, frame_dms, bitrate):
+def _material(fs: int, n: int) -> np.ndarray:
+    """Synthetic multitone + noise test signal (generate_test_vectors.py style)."""
+    rng = np.random.default_rng(7)
+    t = np.arange(n) / fs
+    x = sum(3000 * np.sin(2 * np.pi * f0 * t + p)
+            for f0, p in [(440, 0), (1320, 1), (3700, 2), (9500, 0.5)])
+    x = x + rng.standard_normal(n) * 120.0
+    return np.clip(x, -30000, 30000).astype(np.float32)
+
+
+@pytest.mark.parametrize("fs,bitrate", [(48000, 160000), (96000, 200000)])
+def test_hrmode_roundtrip(tmp_path, fs, bitrate):
     oracle.ensure_oracle()
-    cfg = Config(fs_in=16000, bitrate=bitrate, frame_dms=frame_dms)
-    pcm, fs = oracle.read_wav_mono(oracle.TESTVEC / "thetest16.wav")
+    cfg = Config(fs_in=fs, bitrate=bitrate, hrmode=True)
+    assert cfg.hrmode
     fl = cfg.frame_length
-    x = pcm[: NF * fl, 0].reshape(NF, fl).astype(np.float32)
+    pcm = _material(fs, NF * fl)
+    x = pcm.reshape(NF, fl)
 
     enc = _enc_step(cfg)
     st = S.enc_state_init(cfg, 1)
@@ -31,22 +43,21 @@ def test_frame_mode_roundtrip(tmp_path, frame_dms, bitrate):
         frames.append(np.asarray(out)[0].tobytes())
 
     path = tmp_path / "ours.bin"
-    bio.write_all(path, bio.StreamHeader(samplerate=16000, bitrate=bitrate,
-                                         channels=1, frame_ms=frame_dms / 10,
-                                         epmode=0, signal_len=NF * fl), frames)
+    bio.write_all(path, bio.StreamHeader(samplerate=fs, bitrate=bitrate,
+                                         channels=1, frame_ms=10.0, epmode=0,
+                                         signal_len=NF * fl, hrmode=1), frames)
     out_wav = tmp_path / "etsi.wav"
-    r = subprocess.run([str(oracle.ORACLE_FL), "-q", "-D", str(path),
+    r = subprocess.run([str(oracle.ORACLE_FL), "-q", "-hrmode", "-D", str(path),
                         str(out_wav), "0"], capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
     ref, _ = oracle.read_wav_mono(out_wav)
-    src = x.ravel().astype(np.float64)
+    src = pcm.astype(np.float64)
     n = min(len(ref), len(src))
     err = np.sqrt(np.mean((ref[:n, 0].astype(np.float64) - src[:n]) ** 2))
     sig = np.sqrt(np.mean(src[:n] ** 2))
     snr = 20 * np.log10(sig / max(err, 1e-9))
-    assert snr > 15.0, snr
+    assert snr > 35.0, snr  # HR coding of tonal material should be transparent-ish
 
-    # our decoder vs ETSI decoder on our bitstream
     dst = S.dec_state_init(cfg, 1)
     dstep = _dec_step(cfg)
     nobfi = jnp.zeros((1,), jnp.int32)
@@ -55,7 +66,7 @@ def test_frame_mode_roundtrip(tmp_path, frame_dms, bitrate):
         dst, y, _ = dstep(dst, jnp.asarray(np.frombuffer(fr, np.uint8)[None]), nobfi)
         outs.append(np.asarray(dec_m.round_pcm(y))[0])
     ours = np.concatenate(outs)
-    delay = cfg.frame_length - 2 * cfg.la_zeroes  # lc3_enc_get_delay
+    delay = int(2.5 * cfg.fs / 1000)
     n = min(len(ours) - delay, len(ref))
     diff = ours[delay: delay + n].astype(np.float64) - ref[:n, 0].astype(np.float64)
     rms = np.sqrt(np.mean(diff ** 2))

@@ -127,7 +127,7 @@ def run_point(wav: str, fs: int, bitrate: int, frame_dms: int, n_frames: int,
             dst, y, _ = dstep(dst, jnp.asarray(np.frombuffer(fr, np.uint8)[None]),
                               nobfi)
             outs.append(np.asarray(dec_m.round_pcm(y))[0])
-        delay = int({25: 2.0, 50: 2.5, 100: 2.5}[frame_dms] * cfg.fs / 1000)
+        delay = cfg.frame_length - 2 * cfg.la_zeroes  # lc3_enc_get_delay
         return np.concatenate(outs)[delay:]
 
     _, ref_frames = bio.read_all(ref_bin)
