@@ -37,12 +37,43 @@ class EncSt(NamedTuple):
     carry_count: jnp.ndarray  # [B]
     bp_side: jnp.ndarray    # [B]
     mask_side: jnp.ndarray  # [B]
+    # carry-run interval markers: a pending run of 0xFF (carry==0) or 0x00
+    # (carry==1) bytes is recorded as +1/-1 boundary marks and materialized
+    # once at the end of encode() — runs never overlap direct byte writes,
+    # so the deferred fill is exact (replaces ac_shift_fl's write loop,
+    # ari_codec.c:593-609).
+    mark_ff: jnp.ndarray    # [B, nbytes] int32
+    mark_00: jnp.ndarray    # [B, nbytes] int32
 
 
 def enc_init(buf, bp_side, mask_side) -> EncSt:
-    B = buf.shape[0]
+    B, nbytes = buf.shape
     z = lambda v: jnp.full((B,), v, I32)
-    return EncSt(buf, z(0), z(0), z(MASK24), z(-1), z(0), z(0), bp_side, mask_side)
+    zm = jnp.zeros((B, nbytes), I32)
+    return EncSt(buf, z(0), z(0), z(MASK24), z(-1), z(0), z(0), bp_side,
+                 mask_side, zm, zm)
+
+
+def _mark_run(st: EncSt, bp, count, runval, active):
+    """Record a run of `count` bytes of `runval` at [bp, bp+count)."""
+    Bn, nbytes = st.buf.shape
+    rows = jnp.arange(Bn)
+    do = active & (count > 0)
+    is_ff = runval == 255
+    start = jnp.where(do, jnp.clip(bp, 0, nbytes - 1), nbytes)  # drop when off
+    end = jnp.where(do, bp + count, nbytes)                     # may drop (OOB)
+    mark_ff = st.mark_ff.at[rows, start].add(jnp.where(do & is_ff, 1, 0), mode="drop")
+    mark_ff = mark_ff.at[rows, end].add(jnp.where(do & is_ff, -1, 0), mode="drop")
+    mark_00 = st.mark_00.at[rows, start].add(jnp.where(do & ~is_ff, 1, 0), mode="drop")
+    mark_00 = mark_00.at[rows, end].add(jnp.where(do & ~is_ff, -1, 0), mode="drop")
+    return st._replace(mark_ff=mark_ff, mark_00=mark_00)
+
+
+def _materialize_runs(st: EncSt) -> jnp.ndarray:
+    """Apply deferred carry runs onto the byte buffer."""
+    in_ff = jnp.cumsum(st.mark_ff, axis=1) > 0
+    in_00 = jnp.cumsum(st.mark_00, axis=1) > 0
+    return jnp.where(in_ff, 255, jnp.where(in_00, 0, st.buf))
 
 
 def _ac_shift(st: EncSt, active) -> EncSt:
@@ -56,11 +87,9 @@ def _ac_shift(st: EncSt, active) -> EncSt:
     buf = st.buf.at[rows, jnp.clip(st.bp, 0, nbytes - 1)].set(
         jnp.where(do_cache, val, cur))
     bp = st.bp + do_cache.astype(I32)
-    # pending 0xFF/0x00 run
+    # pending 0xFF/0x00 run -> deferred interval marks
     runval = (st.carry + 255) & 255
-    idx = jnp.arange(nbytes)[None, :]
-    fill = emit[:, None] & (idx >= bp[:, None]) & (idx < (bp + st.carry_count)[:, None])
-    buf = jnp.where(fill, runval[:, None], buf)
+    st = _mark_run(st, bp, st.carry_count, runval, emit)
     bp = bp + jnp.where(emit, st.carry_count, 0)
     cache = jnp.where(emit, st.low >> 16, st.cache)
     carry = jnp.where(emit, 0, st.carry)
@@ -123,12 +152,11 @@ def ac_finalize(st: EncSt) -> EncSt:
     buf = st.buf.at[rows, jnp.clip(st.bp, 0, nbytes - 1)].set(
         jnp.where(has_cc, st.cache & 255, cur))
     bp = st.bp + has_cc.astype(I32)
-    idx = jnp.arange(nbytes)[None, :]
-    fill = has_cc[:, None] & (idx >= bp[:, None]) & \
-        (idx < (bp + jnp.maximum(st.carry_count - 1, 0))[:, None])
-    buf = jnp.where(fill, 255, buf)
+    st = st._replace(buf=buf)
+    st = _mark_run(st, bp, jnp.maximum(st.carry_count - 1, 0),
+                   jnp.full((Bn,), 255, I32), has_cc)
     bp = bp + jnp.where(has_cc, jnp.maximum(st.carry_count - 1, 0), 0)
-    st = st._replace(buf=buf, bp=bp)
+    st = st._replace(bp=bp)
 
     # write_uint_forward of remaining b bits, MSB first, at st.bp
     wval = jnp.where(has_cc, jnp.where(b >= 8, 255 << (jnp.maximum(b, 8) - 8), 0),
@@ -319,7 +347,7 @@ def encode(cfg: Config, buf, bp_side, mask_side, xq, tns_order, tns_idx,
 
     st, _ = jax.lax.scan(fill_body, st, jnp.arange(max_fill))
     st = ac_finalize(st)
-    return st.buf
+    return _materialize_runs(st)
 
 
 # ---------------------------------------------------------------------------

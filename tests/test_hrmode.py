@@ -51,12 +51,24 @@ def test_hrmode_roundtrip(tmp_path, fs, bitrate):
                         str(out_wav), "0"], capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
     ref, _ = oracle.read_wav_mono(out_wav)
-    src = pcm.astype(np.float64)
-    n = min(len(ref), len(src))
-    err = np.sqrt(np.mean((ref[:n, 0].astype(np.float64) - src[:n]) ** 2))
-    sig = np.sqrt(np.mean(src[:n] ** 2))
-    snr = 20 * np.log10(sig / max(err, 1e-9))
-    assert snr > 35.0, snr  # HR coding of tonal material should be transparent-ish
+
+    # reference chain on the same material for quality parity
+    src_wav = tmp_path / "src.wav"
+    wavio.write_wav(src_wav, pcm.astype(np.int16), fs)
+    rbin, rwav = tmp_path / "ref.bin", tmp_path / "ref.wav"
+    subprocess.run([str(oracle.ORACLE_FL), "-q", "-hrmode", "-E", str(src_wav),
+                    str(rbin), str(bitrate)], check=True, capture_output=True)
+    subprocess.run([str(oracle.ORACLE_FL), "-q", "-hrmode", "-D", str(rbin),
+                    str(rwav), "0"], check=True, capture_output=True)
+    refref, _ = oracle.read_wav_mono(rwav)
+
+    def snr(dec):
+        src = pcm.astype(np.float64)
+        n = min(len(dec), len(src))
+        err = np.sqrt(np.mean((dec[:n, 0].astype(np.float64) - src[:n]) ** 2))
+        return 20 * np.log10(np.sqrt(np.mean(src[:n] ** 2)) / max(err, 1e-9))
+
+    assert snr(ref) >= snr(refref) - 0.5, (snr(ref), snr(refref))
 
     dst = S.dec_state_init(cfg, 1)
     dstep = _dec_step(cfg)
