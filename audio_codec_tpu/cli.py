@@ -28,6 +28,10 @@ def _parse_args(argv):
     p.add_argument("-dc", type=int, default=1)
     p.add_argument("-frame_ms", type=float, default=10.0)
     p.add_argument("-epf", type=str, default=None, help="error pattern file (frame loss)")
+    p.add_argument("-epmode", type=int, default=0,
+                   help="error protection mode 0..4 (channel coder)")
+    p.add_argument("-epmr", type=int, default=0,
+                   help="error protection mode request signaled to the decoder")
     p.add_argument("-formatG192", action="store_true")
     p.add_argument("input")
     p.add_argument("output")
@@ -64,8 +68,10 @@ def main(argv=None) -> int:
         else:
             rates = np.array([int(args.bitrate)])
         cfg0 = Config(fs_in=fs, bitrate=int(rates[0]),
-                      frame_dms=int(args.frame_ms * 10), channels=channels)
+                      frame_dms=int(args.frame_ms * 10), channels=channels,
+                      epmode=args.epmode)
         enc = StreamEncoder(cfg0, n_streams=channels)
+        enc.epmr = args.epmr
         frames_out = []
         fl = cfg0.frame_length
         n_frames = n_samples // fl
@@ -76,12 +82,11 @@ def main(argv=None) -> int:
             payloads = enc.encode(block)
             frames_out.append(b"".join(payloads))
         out_path = Path(args.output)
-        if decode:
-            bs_frames = frames_out
-        else:
+        bs_frames = frames_out
+        if not decode:
             h = bio.StreamHeader(samplerate=fs, bitrate=int(rates[0]),
                                  channels=channels, frame_ms=args.frame_ms,
-                                 epmode=0, signal_len=n_samples,
+                                 epmode=args.epmode, signal_len=n_samples,
                                  hrmode=1 if cfg0.hrmode and fs >= 48000 and cfg0.fs_idx == 5 else 0)
             if args.formatG192:
                 with open(out_path, "wb") as fo:
@@ -99,7 +104,8 @@ def main(argv=None) -> int:
     if decode and not encode:
         h, frames = bio.read_all(args.input)
         cfg = Config(fs_in=h.samplerate, bitrate=h.bitrate,
-                     frame_dms=int(h.frame_ms * 10), channels=h.channels)
+                     frame_dms=int(h.frame_ms * 10), channels=h.channels,
+                     epmode=4 if h.epmode else 0)  # mode detected per frame
         lost = np.zeros(len(frames), bool)
         if args.epf:
             pat = _read_error_pattern(args.epf)

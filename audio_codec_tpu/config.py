@@ -34,6 +34,7 @@ class Config:
     hrmode: bool = False
     bandwidth: int = 0      # bandwidth controller cutoff in Hz, 0 = off
     bps: int = 16           # PCM bits per sample (16/24/32)
+    epmode: int = 0         # channel-coder error protection mode, 0..4
 
     # ---- derived (filled by __post_init__ via object.__setattr__) ----
     fs: int = 0
@@ -48,6 +49,10 @@ class Config:
     sns_damping: float = 0.0
     BW_cutoff_bits: int = 0
     # bitrate-derived (per channel)
+    ccc: int = 0            # combined channel coding (multichannel FEC)
+    slotBytes: int = 0      # channel-coder slot size (== targetBytes if ep off)
+    n_pccw: int = 0         # partially concealable codewords
+    n_pc: int = 0           # partial-concealment nibbles
     targetBytes: int = 0
     total_bits: int = 0
     targetBitsInit: int = 0
@@ -95,6 +100,22 @@ class Config:
         ch = self.channels
         total_bytes = self.bitrate * frame_length // (8 * self.fs_in)
         target_bytes = total_bytes // ch  # per channel (ch 0 w/o remainder split)
+        # channel coder: the bitrate buys slot bytes; the codec payload is
+        # what remains after RS redundancy + CRCs (setup_enc_lc3.c:156-205)
+        ccc = 1 if (ch > 1 and self.epmode and total_bytes <= 160) else 0
+        s(self, "ccc", ccc)
+        if self.epmode > 0:
+            from .ops import fec
+            slot_bytes = total_bytes if ccc else target_bytes
+            s(self, "slotBytes", slot_bytes)
+            s(self, "n_pccw", fec.fec_get_n_pccw(slot_bytes, self.epmode, ccc))
+            s(self, "n_pc", fec.fec_get_n_pc(self.epmode, self.n_pccw,
+                                             slot_bytes))
+            target_bytes = fec.fec_get_data_size(self.epmode, ccc, slot_bytes)
+        else:
+            s(self, "slotBytes", target_bytes)
+            s(self, "n_pccw", 0)
+            s(self, "n_pc", 0)
         s(self, "targetBytes", target_bytes)
         total_bits = target_bytes * 8
         s(self, "total_bits", total_bits)
@@ -188,8 +209,10 @@ class Config:
 
     @property
     def rateFlag(self) -> int:
-        """Context-model rate flag (quantize_spec.c:55-58)."""
-        fs = min(self.fs, 48000)
+        """Context-model rate flag (quantize_spec.c:55-58). The reference
+        compares the codec fs literally, so 96 kHz matches neither branch
+        (only 44.1 kHz maps to 48 kHz via CODEC_FS, defines.h:108)."""
+        fs = self.fs
         if (fs < 48000 and self.total_bits > 320 + (fs // 8000 - 2) * 160) or \
            (fs == 48000 and self.total_bits > 800):
             return 512
@@ -197,8 +220,9 @@ class Config:
 
     @property
     def modeFlag(self) -> int:
-        """Initial lsb-mode eligibility (quantize_spec.c:61-64)."""
-        fs = min(self.fs, 48000)
+        """Initial lsb-mode eligibility (quantize_spec.c:61-64); like
+        rateFlag, 96 kHz never qualifies in the reference."""
+        fs = self.fs
         if (fs < 48000 and self.total_bits >= 640 + (fs // 8000 - 2) * 160) or \
            (fs == 48000 and self.total_bits >= 1120):
             return 1

@@ -198,3 +198,35 @@ def test_fec_data_sizes_match_reference_formulas():
     assert fec.fec_get_n_pccw(40, 4, 0) == 0  # below PC threshold
     assert fec.fec_get_n_pccw(80, 4, 1) == 0  # combined channel coding
     assert fec.fec_get_n_pccw(80, 4, 0) > 0
+
+
+def test_engine_epmode_roundtrip():
+    """StreamEncoder/StreamDecoder with epmode: channel-coded frames decode
+    through the engine, frame loss falls back to PLC (Enc_LC3/Dec_LC3
+    framing, enc_lc3.c:283-308, dec_lc3.c:340-400)."""
+    from audio_codec_tpu.config import Config
+    from audio_codec_tpu.engine import StreamDecoder, StreamEncoder
+
+    cfg = Config(fs_in=16000, bitrate=32000, epmode=2)
+    # EP2 @ 40-byte slot: 6 codewords x 1 parity nibble-pair + 2 CRC bytes
+    assert cfg.slotBytes == 40 and cfg.targetBytes == 32
+    rng = np.random.default_rng(3)
+    t = np.arange(10 * cfg.frame_length) / 16000.0
+    x = (6000 * np.sin(2 * np.pi * 440 * t)
+         + rng.standard_normal(len(t)) * 80).astype(np.float32)
+    enc = StreamEncoder(cfg, 1)
+    enc.epmr = 1
+    dec = StreamDecoder(cfg, 1)
+    outs = []
+    for f in range(10):
+        fr = enc.encode(x[f * cfg.frame_length:(f + 1) * cfg.frame_length][None])
+        assert len(fr[0]) == cfg.slotBytes
+        lost = f == 6
+        outs.append(dec.decode(b"" if lost else fr[0], bfi=lost))
+    assert dec.epmr == 1  # EPMR signaled through the channel coder
+    y = np.concatenate([o[0] for o in outs]).astype(np.float64)
+    d = 40  # 2.5 ms delay
+    n = len(y) - d
+    snr = 10 * np.log10(np.sum(x[:n] ** 2)
+                        / (np.sum((x[:n] - y[d:d + n]) ** 2) + 1e-9))
+    assert snr > 10.0, snr
