@@ -102,7 +102,23 @@ def main(argv=None) -> int:
             return 0
 
     if decode and not encode:
-        h, frames = bio.read_all(args.input)
+        if args.formatG192:
+            cfgp = Path(args.input + ".cfg")
+            if not cfgp.exists():
+                cfgp = Path(args.input).with_suffix(".cfg")
+            with open(cfgp, "rb") as fh:
+                h = bio.read_header(fh)
+            frames, bfi_flags = [], []
+            with open(args.input, "rb") as fh:
+                while True:
+                    fr, bf = bio.read_g192_frame(fh)
+                    if fr is None:
+                        break
+                    frames.append(fr)
+                    bfi_flags.append(bf)
+        else:
+            h, frames = bio.read_all(args.input)
+            bfi_flags = [0] * len(frames)
         cfg = Config(fs_in=h.samplerate, bitrate=h.bitrate,
                      frame_dms=int(h.frame_ms * 10), channels=h.channels,
                      epmode=4 if h.epmode else 0)  # mode detected per frame
@@ -113,7 +129,9 @@ def main(argv=None) -> int:
         dec = StreamDecoder(cfg, n_streams=h.channels)
         out = []
         for i, fr in enumerate(frames):
-            bfi = bool(lost[i]) or len(fr) == 0
+            bfi = bfi_flags[i]
+            if bool(lost[i]) or len(fr) == 0:
+                bfi = 1
             pcm = dec.decode(fr, bfi=bfi)
             out.append(pcm.T)
         pcm = np.concatenate(out, axis=0)

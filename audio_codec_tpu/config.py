@@ -35,6 +35,8 @@ class Config:
     bandwidth: int = 0      # bandwidth controller cutoff in Hz, 0 = off
     bps: int = 16           # PCM bits per sample (16/24/32)
     epmode: int = 0         # channel-coder error protection mode, 0..4
+    ch_idx: int = 0         # which channel this Config's budgets describe
+                            # (per-channel byte split, setup_enc_lc3.c:192-196)
 
     # ---- derived (filled by __post_init__ via object.__setattr__) ----
     fs: int = 0
@@ -96,23 +98,54 @@ class Config:
         s(self, "sns_damping", 0.6 if hrmode else 0.85)
         s(self, "BW_cutoff_bits", 0 if hrmode else int(T.t("BW_cutoff_bits_all")[fs_idx]))
 
-        # --- bitrate-derived (update_enc_bitrate, setup_enc_lc3.c:196-360) ---
+        # --- bitrate-derived (update_enc_bitrate, setup_enc_lc3.c:146-260) ---
         ch = self.channels
+        if not 0 <= self.epmode <= 4:
+            raise ValueError(f"epmode must be in 0..4, got {self.epmode}")
+        if not 0 <= self.ch_idx < ch:
+            raise ValueError(f"ch_idx {self.ch_idx} out of range for "
+                             f"{ch} channels")
         total_bytes = self.bitrate * frame_length // (8 * self.fs_in)
-        target_bytes = total_bytes // ch  # per channel (ch 0 w/o remainder split)
         # channel coder: the bitrate buys slot bytes; the codec payload is
         # what remains after RS redundancy + CRCs (setup_enc_lc3.c:156-205)
         ccc = 1 if (ch > 1 and self.epmode and total_bytes <= 160) else 0
         s(self, "ccc", ccc)
         if self.epmode > 0:
             from .ops import fec
-            slot_bytes = total_bytes if ccc else target_bytes
-            s(self, "slotBytes", slot_bytes)
-            s(self, "n_pccw", fec.fec_get_n_pccw(slot_bytes, self.epmode, ccc))
-            s(self, "n_pc", fec.fec_get_n_pc(self.epmode, self.n_pccw,
-                                             slot_bytes))
-            target_bytes = fec.fec_get_data_size(self.epmode, ccc, slot_bytes)
+            # per-channel slot size bound (setup_enc_lc3.c:164-172)
+            max_bytes = self.bitrate * frame_length // (8 * self.fs_in * ch)
+            if not (fec.FEC_SLOT_BYTES_MIN <= max_bytes
+                    <= fec.FEC_SLOT_BYTES_MAX):
+                raise ValueError(
+                    f"epmode {self.epmode}: per-channel slot of {max_bytes} "
+                    f"bytes outside [{fec.FEC_SLOT_BYTES_MIN}, "
+                    f"{fec.FEC_SLOT_BYTES_MAX}] (LC3_BITRATE_ERROR)")
+            if ccc:
+                # one FEC slot spans all channels; its payload is split
+                # across channels (setup_enc_lc3.c:174-196)
+                data_total = fec.fec_get_data_size(self.epmode, 1,
+                                                   total_bytes)
+                target_bytes = (data_total // ch
+                                + (self.ch_idx < data_total % ch))
+                s(self, "slotBytes", total_bytes)
+                s(self, "n_pccw", fec.fec_get_n_pccw(total_bytes,
+                                                     self.epmode, 1))
+                s(self, "n_pc", fec.fec_get_n_pc(self.epmode, self.n_pccw,
+                                                 total_bytes))
+            else:
+                # one FEC slot per channel (setup_enc_lc3.c:192-205)
+                slot_bytes = (total_bytes // ch
+                              + (self.ch_idx < total_bytes % ch))
+                s(self, "slotBytes", slot_bytes)
+                s(self, "n_pccw", fec.fec_get_n_pccw(slot_bytes,
+                                                     self.epmode, 0))
+                s(self, "n_pc", fec.fec_get_n_pc(self.epmode, self.n_pccw,
+                                                 slot_bytes))
+                target_bytes = fec.fec_get_data_size(self.epmode, 0,
+                                                     slot_bytes)
         else:
+            target_bytes = (total_bytes // ch
+                            + (self.ch_idx < total_bytes % ch))
             s(self, "slotBytes", target_bytes)
             s(self, "n_pccw", 0)
             s(self, "n_pc", 0)
@@ -230,3 +263,11 @@ class Config:
 
     def with_bitrate(self, bitrate: int) -> "Config":
         return replace(self, bitrate=bitrate)
+
+    def channel_configs(self) -> tuple["Config", ...]:
+        """Per-channel Configs (the reference's channel_setup[ch] array,
+        setup_enc_lc3.c:192): byte budgets differ across channels when the
+        total payload does not split evenly."""
+        if self.channels == 1:
+            return (self,)
+        return tuple(replace(self, ch_idx=c) for c in range(self.channels))

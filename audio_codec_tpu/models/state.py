@@ -112,6 +112,13 @@ class DecState:
     plc_cum_alpha: jnp.ndarray     # [B] float32, init 1
     plc_seed: jnp.ndarray          # [B] int32, init 24607
     plc_scf_q: jnp.ndarray         # [B, 16] last good scale factors
+    plc_old_scf_q: jnp.ndarray     # [B, 16] two-frames-back scale factors
+    # partial concealment (setup_dec_lc3.h q_old_res/prev_gg/..., DecSetup)
+    pc_q_old_res: jnp.ndarray      # [B, yLen] last raw residual spectrum
+    pc_prev_gg: jnp.ndarray        # [B] float32
+    pc_prev_bw_idx: jnp.ndarray    # [B] int32
+    pc_prev_fac_ns: jnp.ndarray    # [B] float32
+    pc_nb_lost: jnp.ndarray        # [B] int32 (pc_nbLostFramesInRow)
 
 
 def dec_state_init(cfg: Config, n_streams: int) -> DecState:
@@ -136,4 +143,10 @@ def dec_state_init(cfg: Config, n_streams: int) -> DecState:
         plc_cum_alpha=jnp.ones((B,), f32),
         plc_seed=jnp.full((B,), 24607, i32),
         plc_scf_q=z(16),
+        plc_old_scf_q=z(16),
+        pc_q_old_res=z(cfg.yLen),
+        pc_prev_gg=z(),
+        pc_prev_bw_idx=zi(),
+        pc_prev_fac_ns=z(),
+        pc_nb_lost=zi(),
     )

@@ -362,22 +362,100 @@ class DecSt(NamedTuple):
     ber: jnp.ndarray
     bp_side: jnp.ndarray
     mask_side: jnp.ndarray
+    # partial-concealment pointer state (Pc_State_fx, ari_codec.c:18-33);
+    # all-zero placeholders when the frame carries no PC block (n_pc == 0)
+    b_left: jnp.ndarray     # [B] convergence point (init numbytes + 1)
+    b_right: jnp.ndarray    # [B] (init -1)
+    c_bp: jnp.ndarray       # [B] bool: fwd pointer jumped into the PC block
+    c_bp_side: jnp.ndarray  # [B] bool: side pointer jumped into the PC block
+    inv_bin: jnp.ndarray    # [B] first suspect spectral bin (init L_spec + 1)
+    be_l: jnp.ndarray       # [B] corrupt byte range in the PC block
+    be_r: jnp.ndarray       # [B]
+    bfi2: jnp.ndarray       # [B] bool: frame flagged bfi == 2 by the FEC
 
 
-def dec_init(buf, bp_side, mask_side) -> DecSt:
+def _pc_check(st: DecSt, cur_bin, active, *, pc_bytes: int, from_left: bool,
+              enc: bool):
+    """check_pc_bytes (ari_codec.c:1824-1921), vectorized over lanes.
+
+    Returns (st, stop): `stop` lanes must suppress the pending byte/bit read
+    — for the encoder simulation it marks pointer convergence (b_left
+    found); for the decoder it marks entry into the corrupted byte range of
+    the relocated PC block (-> ber_detect with inv_bin)."""
+    assert pc_bytes > 0
+    act = active if from_left else (active & (st.mask_side == 1))
+    bp_local = st.bp if from_left else st.bp - 1
+    bp_side_local = st.bp_side + ((st.mask_side == 1).astype(I32)
+                                  if from_left else 0)
+    offset = -1 + (0 if enc else pc_bytes)
+    conv = act & (st.b_right < 0) & \
+        (bp_side_local + offset - bp_local == pc_bytes)
+    st = st._replace(b_left=jnp.where(conv, bp_local + 1, st.b_left),
+                     b_right=jnp.where(conv, bp_side_local - 1, st.b_right))
+    if enc:
+        return st, conv
+    have = act & (st.b_right >= 0)
+    if from_left:
+        jump = have & (st.bp == st.b_left)
+        st = st._replace(bp=jnp.where(jump, 0, st.bp),
+                         c_bp=st.c_bp | jump)
+    else:
+        jump = have & (bp_side_local == st.b_right)
+        st = st._replace(bp_side=jnp.where(jump, pc_bytes - 1, st.bp_side),
+                         c_bp_side=st.c_bp_side | jump)
+    in2 = act & st.bfi2
+    trig = in2 & ((st.c_bp & (st.bp >= st.be_l))
+                  | (st.c_bp_side & (st.bp_side <= st.be_r)))
+    soft = in2 & ~trig & (st.c_bp | (st.c_bp_side
+                                     & (st.bp_side <= pc_bytes - 1)))
+    inv = jnp.where(trig, cur_bin,
+                    jnp.where(soft, jnp.minimum(st.inv_bin, cur_bin),
+                              st.inv_bin))
+    return st._replace(inv_bin=inv), trig
+
+
+def dec_init(buf, bp_side, mask_side, pc: dict | None = None,
+             be_l=None, be_r=None, bfi2=None):
+    """ac_dec_init (3 forward bytes). With a PC block the forward pointer
+    starts past the relocated block (bp = pc.bytes, ari_codec.c:490-495);
+    the encoder simulation (pc['enc']) reads the logical stream from 0.
+    Returns (st, stop) — stop lanes aborted during init."""
     Bn, nbytes = buf.shape
     rows = jnp.arange(Bn)
+    z = lambda v: jnp.full((Bn,), v, I32)
+    fb = jnp.zeros((Bn,), bool)
+    if pc is None:
+        low = jnp.zeros((Bn,), I32)
+        for i in range(3):
+            low = (low << 8) + buf[rows, i]
+        return DecSt(buf, z(3), low, z(MASK24), z(0), bp_side, mask_side,
+                     z(0), z(-1), fb, fb, z(0), z(-1), z(-1), fb), fb
+    pcb = pc["pc_bytes"]
+    start = 0 if pc["enc"] else pcb
+    st = DecSt(buf, z(start), z(0), z(MASK24), z(0), bp_side, mask_side,
+               z(pc["numbytes"] + 1), z(-1), fb, fb, z(pc["L_spec"] + 1),
+               z(-1) if be_l is None else be_l >> 3,
+               z(-1) if be_r is None else be_r >> 3,
+               fb if bfi2 is None else bfi2)
+    stop = fb
     low = jnp.zeros((Bn,), I32)
     for i in range(3):
-        low = (low << 8) + buf[rows, i]
-    return DecSt(buf, jnp.full((Bn,), 3, I32), low,
-                 jnp.full((Bn,), MASK24, I32), jnp.zeros((Bn,), I32),
-                 bp_side, mask_side)
+        st, trig = _pc_check(st, jnp.zeros((Bn,), I32), ~stop,
+                             pc_bytes=pcb, from_left=True, enc=pc["enc"])
+        stop = stop | trig
+        ok = ~stop
+        byte = st.buf[rows, jnp.clip(st.bp, 0, nbytes - 1)]
+        low = jnp.where(ok, (low << 8) + byte, low)
+        st = st._replace(bp=st.bp + ok.astype(I32))
+    return st._replace(low=low), stop
 
 
-def ac_decode(st: DecSt, cum_freq_rows, num_sym: int, active) -> tuple[DecSt, jnp.ndarray]:
-    """ac_decode_fl (ari_codec.c:115-146). cum_freq_rows: [B, num_sym+1]
-    per-stream cumulative frequency table (cf[num_sym] = 1024)."""
+def ac_decode(st: DecSt, cum_freq_rows, num_sym: int, active, cur_bin=None,
+              pc: dict | None = None):
+    """ac_decode_fl (ari_codec.c:115-146) + PC hook in the renormalization
+    byte reads (ac_dec_update_fx, ari_codec.c:1782-1802). cum_freq_rows:
+    [B, num_sym+1] per-stream cumulative frequency table (cf[num_sym] =
+    1024). Returns (st, val, stop)."""
     Bn, nbytes = st.buf.shape
     rows = jnp.arange(Bn)
     tmp = st.range >> 10
@@ -389,29 +467,81 @@ def ac_decode(st: DecSt, cum_freq_rows, num_sym: int, active) -> tuple[DecSt, jn
     sf = jnp.take_along_axis(cum_freq_rows, val[:, None] + 1, 1)[:, 0] - cf
     low = jnp.where(active, st.low - tmp * cf, st.low)
     rng = jnp.where(active, tmp * sf, st.range)
+    st = st._replace(ber=ber)
+    stop = jnp.zeros((Bn,), bool)
     bp = st.bp
     for _ in range(2):
-        need = active & (rng < (1 << 16))
+        need = active & (rng < (1 << 16)) & ~stop
+        if pc is not None:
+            st = st._replace(bp=bp)
+            st, trig = _pc_check(st, cur_bin, need, pc_bytes=pc["pc_bytes"],
+                                 from_left=True, enc=pc["enc"])
+            bp = st.bp
+            stop = stop | trig
+            need = need & ~trig
         byte = st.buf[rows, jnp.clip(bp, 0, nbytes - 1)]
         low = jnp.where(need, ((low << 8) & MASK24) + byte, low)
         bp = bp + need.astype(I32)
         rng = jnp.where(need, rng << 8, rng)
-    return st._replace(low=low, range=rng, bp=bp, ber=ber), val
+    return st._replace(low=low, range=rng, bp=bp), val, stop
 
 
-def decode(cfg: Config, buf, side):
-    """processAriDecoder_fl: spectrum + TNS coefficients + residual bits.
+def decode(cfg: Config, buf, side, bfi_in=None, be_bp_left=None,
+           be_bp_right=None, pc_enc_sim: bool = False):
+    """processAriDecoder: spectrum + TNS coefficients + residual bits.
 
     side: dict from bits.parse_side_info. Returns dict with x [B, N] i32,
-    tns_idx [B,2,8], tns_order, nf_seed, zero_frame, residual bits, bfi.
+    tns_idx [B,2,8], tns_order, nf_seed, zero_frame, residual bits, bfi
+    (0/1/2), spec_inv_idx, b_left.
+
+    When the frame carries a partial-concealment block (cfg.n_pc > 0) the
+    transmitted core payload is reordered (processReorderBitstream_fx); the
+    forward pointer then starts past the block and both pointers jump into
+    it at the convergence point (check_pc_bytes, ari_codec.c:1824-1921).
+    bfi_in==2 lanes track entry into the corrupted byte range
+    [be_bp_left, be_bp_right] and abort with spec_inv_idx for the PC stage.
+    pc_enc_sim runs the encoder-side simulation (mode==1, enc_lc3.c:245-259)
+    on the *logical* stream, only to discover b_left for the reorder.
     """
     Bn, nbytes = buf.shape
     N = cfg.yLen
     lastnz = side["lastnz"]
     lsb_mode = side["lsb_mode"]
-    st = dec_init(buf, side["bp_side"], side["mask_side"])
-    bfi = jnp.zeros((Bn,), I32)
+    n_pc = cfg.n_pc
+    use_pc = n_pc > 0 or pc_enc_sim
+    if use_pc:
+        pc = dict(pc_bytes=(n_pc + 1) >> 1, numbytes=cfg.targetBytes,
+                  L_spec=N, enc=pc_enc_sim)
+        pcb = pc["pc_bytes"]
+        bfi2 = None if bfi_in is None else (bfi_in == 2)
+        st, init_stop = dec_init(buf, side["bp_side"], side["mask_side"],
+                                 pc, be_bp_left, be_bp_right, bfi2)
+    else:
+        pc = None
+        st, init_stop = dec_init(buf, side["bp_side"], side["mask_side"])
+    bfi = init_stop.astype(I32)
+    res_dead = jnp.zeros((Bn,), bool)
+    zero_bin = jnp.zeros((Bn,), I32)
     max_lev_iter = 22 if cfg.hrmode else 14
+
+    def side_read(st, bfi, act, cur_bin, res_phase=False, res_dead=None):
+        """Backward bit read with the PC hook (check_pc_bytes from_left=0
+        before each fresh side byte). Spectral-phase aborts -> ber_detect
+        (bfi=1, reclassified below); residual-phase -> ber_detect_res."""
+        if pc is not None:
+            st, trig = _pc_check(st, cur_bin, act, pc_bytes=pcb,
+                                 from_left=False, enc=pc["enc"])
+            if res_phase:
+                res_dead = res_dead | trig
+            else:
+                bfi = jnp.where(trig, 1, bfi)
+            act = act & ~trig
+        bit, nbp, nmask = B_.read_bit(st.buf, st.bp_side, st.mask_side)
+        st = st._replace(bp_side=jnp.where(act, nbp, st.bp_side),
+                         mask_side=jnp.where(act, nmask, st.mask_side))
+        if res_phase:
+            return st, bit, act, res_dead
+        return st, bit, act, bfi
 
     # --- TNS ---
     tns_max = 8 if cfg.frame_dms == 100 else 4
@@ -421,17 +551,21 @@ def decode(cfg: Config, buf, side):
     tns_order = jnp.zeros((Bn, 2), I32)
     tns_idx = jnp.zeros((Bn, 2, 8), I32)
     for f in range(2):
-        act_f = (f < side["num_tns"]) & (side["tns_on"][:, f] > 0)
-        cfr = jnp.broadcast_to(order_cf[lpcw][None, :], (Bn, 9))
-        st, val = ac_decode(st, cfr, 8, act_f)
+        act_f = (f < side["num_tns"]) & (side["tns_on"][:, f] > 0) & (bfi == 0)
+        st, val, stp = ac_decode(st, jnp.broadcast_to(order_cf[lpcw][None, :],
+                                                      (Bn, 9)),
+                                 8, act_f, zero_bin, pc)
+        bfi = jnp.where(stp, 1, bfi)
         order = val + 1
         bfi = jnp.where(act_f & (order > tns_max), 1, bfi)
         tns_order = tns_order.at[:, f].set(jnp.where(act_f, order, 0))
         for k in range(8):
-            act_k = act_f & (k < order)
+            act_k = act_f & (k < order) & (bfi == 0)
             bfi = bfi | jnp.where(act_k & (st.bp_side < st.bp), 1, 0)
-            cfr = jnp.broadcast_to(coef_cf[k][None, :], (Bn, 18))
-            st, v = ac_decode(st, cfr, 17, act_k)
+            st, v, stp = ac_decode(st, jnp.broadcast_to(coef_cf[k][None, :],
+                                                        (Bn, 18)),
+                                   17, act_k, zero_bin, pc)
+            bfi = jnp.where(stp, 1, bfi)
             tns_idx = tns_idx.at[:, f, k].set(jnp.where(act_k, v, 0))
     bfi = bfi | st.ber
 
@@ -446,6 +580,8 @@ def decode(cfg: Config, buf, side):
     def tup_body(carry, k):
         st, x, save_lev, c, bfi = carry
         in_range = ((2 * k) < lastnz) & (bfi == 0)
+        a_bin = 2 * k
+        b_bin = 2 * k + 1
         t = c + rate_flag + jnp.where(k > N // 4, 256, 0)
         ak = jnp.zeros((Bn,), I32)
         bk = jnp.zeros((Bn,), I32)
@@ -453,29 +589,25 @@ def decode(cfg: Config, buf, side):
         sym_fin = jnp.zeros((Bn,), I32)
         done = jnp.zeros((Bn,), jnp.bool_)
         for lev in range(max_lev_iter):
-            act = in_range & ~done
+            act = in_range & ~done & (bfi == 0)
             lev1 = min(lev, 3)
             pki = lookup[jnp.clip(t + lev1 * 1024, 0, 4095)]
-            st, sym = ac_decode(st, cumf[pki], 17, act)
+            st, sym, stp = ac_decode(st, cumf[pki], 17, act, a_bin, pc)
+            bfi = jnp.where(stp, 1, bfi)
+            act = act & (bfi == 0)
             is_esc = sym >= 16
             # escape: read two LSB bits unless (lsbMode==1 and lev==0)
             rd = act & is_esc & ((lsb_mode == 0) | (lev > 0))
-            bit1, nbp, nmask = B_.read_bit(st.buf, st.bp_side, st.mask_side)
-            bp_side = jnp.where(rd, nbp, st.bp_side)
-            mask_side = jnp.where(rd, nmask, st.mask_side)
-            ak = jnp.where(rd, ak + (bit1 << lev), ak)
-            st = st._replace(bp_side=bp_side, mask_side=mask_side)
-            bit2, nbp, nmask = B_.read_bit(st.buf, st.bp_side, st.mask_side)
-            bp_side = jnp.where(rd, nbp, st.bp_side)
-            mask_side = jnp.where(rd, nmask, st.mask_side)
-            bk = jnp.where(rd, bk + (bit2 << lev), bk)
-            st = st._replace(bp_side=bp_side, mask_side=mask_side)
+            st, bit1, rd1, bfi = side_read(st, bfi, rd, a_bin)
+            ak = jnp.where(rd1, ak + (bit1 << lev), ak)
+            st, bit2, rd2, bfi = side_read(st, bfi, rd1, a_bin)
+            bk = jnp.where(rd2, bk + (bit2 << lev), bk)
             hit = act & ~is_esc
             lev_fin = jnp.where(hit, lev, lev_fin)
             sym_fin = jnp.where(hit, sym, sym_fin)
             done = done | hit
-            lev_fin = jnp.where(act & is_esc, lev + 1, lev_fin)  # track loop exit level
-        # BER: exhausted all 14 levels with escape (non-HR only, ari_codec.c:330)
+            lev_fin = jnp.where(act & is_esc, lev + 1, lev_fin)  # exit level
+        # BER: exhausted all 14 levels with escape (non-HR, ari_codec.c:330)
         if not cfg.hrmode:
             bfi = jnp.where(in_range & ~done & (lev_fin - 1 == 13), 1, bfi)
             lev_eff = jnp.minimum(lev_fin, 13)
@@ -487,15 +619,11 @@ def decode(cfg: Config, buf, side):
         ak = ak + jnp.where(in_range, a_fin << lev_eff, 0)
         bk = bk + jnp.where(in_range, b_fin << lev_eff, 0)
         # signs
-        rd = in_range & (ak > 0)
-        bit, nbp, nmask = B_.read_bit(st.buf, st.bp_side, st.mask_side)
-        st = st._replace(bp_side=jnp.where(rd, nbp, st.bp_side),
-                         mask_side=jnp.where(rd, nmask, st.mask_side))
+        rd = in_range & (ak > 0) & (bfi == 0)
+        st, bit, rd, bfi = side_read(st, bfi, rd, a_bin)
         ak = jnp.where(rd & (bit == 1), -ak, ak)
-        rd = in_range & (bk > 0)
-        bit, nbp, nmask = B_.read_bit(st.buf, st.bp_side, st.mask_side)
-        st = st._replace(bp_side=jnp.where(rd, nbp, st.bp_side),
-                         mask_side=jnp.where(rd, nmask, st.mask_side))
+        rd = in_range & (bk > 0) & (bfi == 0)
+        st, bit, rd, bfi = side_read(st, bfi, rd, b_bin)
         bk = jnp.where(rd & (bit == 1), -bk, bk)
         rows = jnp.arange(Bn)
         x = x.at[rows, jnp.clip(2 * k, 0, N - 1)].set(
@@ -506,7 +634,12 @@ def decode(cfg: Config, buf, side):
         lev1 = jnp.minimum(lev_eff, 3)
         t_next = jnp.where(lev1 <= 1, 1 + (a_fin + b_fin) * (lev1 + 1), 12 + lev1)
         c = jnp.where(in_range, (c & 15) * 16 + t_next, c)
-        bfi = jnp.where(in_range & ((st.bp - st.bp_side) > 3), 1, bfi)
+        # pointer-crossing consistency (with PC, valid only while both
+        # pointers are on the same side of the block, ari_codec.c:750)
+        crossed = (st.bp - st.bp_side) > 3
+        if pc is not None:
+            crossed = crossed & (st.c_bp == st.c_bp_side)
+        bfi = jnp.where(in_range & crossed, 1, bfi)
         bfi = bfi | st.ber
         return (st, x, save_lev, c, bfi), None
 
@@ -517,11 +650,20 @@ def decode(cfg: Config, buf, side):
     # --- residual bits ---
     total_bits = cfg.targetBytes * 8
     log2_mask = 31 - jax.lax.clz(jnp.maximum(st.mask_side, 1))
-    nbits_side = total_bits - (8 * (st.bp_side + 1) + 8 - log2_mask)
     msb_r = 31 - jax.lax.clz(jnp.maximum(st.range, 1))
-    nbits_ari = (st.bp + 1 - 3) * 8 + 25 - msb_r
+    if pc is not None and not pc_enc_sim:
+        # PC-adjusted consumed-bit accounting (ari_codec.c:965-981; the
+        # encoder simulation reads the logical stream from byte 0 and is
+        # exempt, the C's `IF (mode != 1)` guard)
+        consumed = jnp.where(st.c_bp, st.bp + st.b_left - pcb, st.bp - pcb)
+        nbits_ari = (consumed + 1 - 3) * 8 + 25 - msb_r
+        nbits_side = total_bits - 16 + log2_mask - 8 * jnp.where(
+            st.c_bp_side, st.b_left - pcb + st.bp_side, st.bp_side)
+    else:
+        nbits_side = total_bits - (8 * (st.bp_side + 1) + 8 - log2_mask)
+        nbits_ari = (st.bp + 1 - 3) * 8 + 25 - msb_r
     nbits_residual = total_bits - (nbits_side + nbits_ari)
-    bfi = jnp.where(nbits_residual < 0, 1, bfi)
+    bfi = jnp.where((bfi == 0) & (nbits_residual < 0), 1, bfi)
     nbits_residual = jnp.maximum(nbits_residual, 0)
 
     # lsb_mode == 0: residual bits, one per nonzero coefficient (x20 in HR)
@@ -534,54 +676,84 @@ def decode(cfg: Config, buf, side):
     res_bits = jnp.zeros((Bn, max_res), I32)
 
     def res_body(carry, k):
-        st, res_bits = carry
-        act = (lsb_mode == 0) & (k < n_res0) & (bfi == 0)
-        bit, nbp, nmask = B_.read_bit(st.buf, st.bp_side, st.mask_side)
-        st = st._replace(bp_side=jnp.where(act, nbp, st.bp_side),
-                         mask_side=jnp.where(act, nmask, st.mask_side))
+        st, res_bits, res_dead = carry
+        act = (lsb_mode == 0) & (k < n_res0) & (bfi == 0) & ~res_dead
+        st, bit, act, res_dead = side_read(st, res_dead, act, st.inv_bin,
+                                           res_phase=True, res_dead=res_dead)
         rows = jnp.arange(Bn)
-        res_bits = res_bits.at[rows, k].set(jnp.where(act, bit, res_bits[rows, k]))
-        return (st, res_bits), None
+        res_bits = res_bits.at[rows, k].set(
+            jnp.where(act, bit, res_bits[rows, k]))
+        return (st, res_bits, res_dead), None
 
-    (st, res_bits), _ = jax.lax.scan(res_body, (st, res_bits), jnp.arange(max_res))
+    (st, res_bits, res_dead), _ = jax.lax.scan(
+        res_body, (st, res_bits, res_dead), jnp.arange(max_res))
 
     # lsb_mode == 1: apply LSB refinement inline (ari_codec.c:476-556)
     def lsb_body(carry, k):
-        st, x, budget = carry
+        st, x, budget, res_dead = carry
         rows = jnp.arange(Bn)
-        has = (lsb_mode == 1) & (save_lev[:, k] > 0) & ((2 * k) < lastnz) & (bfi == 0)
+        has = (lsb_mode == 1) & (save_lev[:, k] > 0) & ((2 * k) < lastnz) \
+            & (bfi == 0)
         for pos in range(2):
             idx = 2 * k + pos
-            act = has & (budget > 0)
-            bit, nbp, nmask = B_.read_bit(st.buf, st.bp_side, st.mask_side)
-            st = st._replace(bp_side=jnp.where(act, nbp, st.bp_side),
-                             mask_side=jnp.where(act, nmask, st.mask_side))
+            act = has & (budget > 0) & ~res_dead
+            st, bit, act, res_dead = side_read(
+                st, res_dead, act, st.inv_bin, res_phase=True,
+                res_dead=res_dead)
             budget = budget - act.astype(I32)
             xv = x[rows, jnp.clip(idx, 0, N - 1)]
-            # bit==1 and xv!=0 → move away from zero
+            # bit==1 and xv!=0 -> move away from zero
             upd = jnp.where(xv > 0, xv + 1, jnp.where(xv < 0, xv - 1, xv))
             xv2 = jnp.where(act & (bit == 1) & (xv != 0), upd, xv)
-            # xv==0 → need second bit for sign
-            act2 = act & (bit == 1) & (xv == 0) & (budget > 0)
-            bit2, nbp, nmask = B_.read_bit(st.buf, st.bp_side, st.mask_side)
-            st = st._replace(bp_side=jnp.where(act2, nbp, st.bp_side),
-                             mask_side=jnp.where(act2, nmask, st.mask_side))
+            # xv==0 -> need second bit for sign
+            act2 = act & (bit == 1) & (xv == 0) & (budget > 0) & ~res_dead
+            st, bit2, act2, res_dead = side_read(
+                st, res_dead, act2, st.inv_bin, res_phase=True,
+                res_dead=res_dead)
             budget = budget - act2.astype(I32)
             xv2 = jnp.where(act2, jnp.where(bit2 == 0, 1, -1), xv2)
             x = x.at[rows, jnp.clip(idx, 0, N - 1)].set(xv2)
-        return (st, x, budget), None
+        return (st, x, budget, res_dead), None
 
-    (st, x, _), _ = jax.lax.scan(lsb_body, (st, x, nbits_residual),
-                                 jnp.arange(N // 2))
+    (st, x, _, res_dead), _ = jax.lax.scan(
+        lsb_body, (st, x, nbits_residual, res_dead), jnp.arange(N // 2))
 
-    # noise-filling seed + zero frame (ari_codec.c:565-580)
+    # --- final classification + outputs ---
+    n_res = jnp.where(lsb_mode == 0, n_res0, 0)
+    if pc is not None and not pc_enc_sim:
+        # ber_detect: a PC-block abort (or any BER) with a valid inv_bin
+        # becomes a partial loss (bfi=2 + spec_inv_idx, ari_codec.c:1164-1187)
+        to2 = (bfi == 1) & (st.inv_bin > 0) & (st.inv_bin <= N)
+        spec_inv_idx = jnp.where(to2, st.inv_bin, N)
+        bfi = jnp.where(to2, 2, bfi)
+        # input bfi==2 lanes that decoded past the corrupt range cleanly
+        # keep bfi=0 (the spec_inv_idx==L_spec -> bfi=0 rule)
+    else:
+        spec_inv_idx = jnp.full((Bn,), N, I32)
+
+    # noise-filling seed over bins below spec_inv_idx (ari_codec.c:1104-1111)
     kidx = jnp.arange(N)[None, :]
-    nf_seed = jnp.sum(jnp.abs(x) * kidx, axis=1) & 65535
+    seed_mask = kidx < spec_inv_idx[:, None]
+    nf_seed = jnp.sum(jnp.where(seed_mask, jnp.abs(x) * kidx, 0), axis=1) \
+        & 65535
     nf_seed = jnp.where(nf_seed >= 32768, nf_seed - 65536, nf_seed)
     zero_frame = ((lastnz == 2) & (x[:, 0] == 0) & (x[:, 1] == 0)
                   & (side["gg_idx"] == 0) & (side["fac_ns_idx"] == 7)).astype(I32)
-    bfi = bfi | st.ber
+    bfi = jnp.where((bfi == 0) & (st.ber > 0), 1, bfi)
+    if pc is not None and not pc_enc_sim:
+        dead2 = (bfi == 2) | res_dead
+        zero_frame = jnp.where(dead2, 0, zero_frame)
+        n_res = jnp.where(dead2, 0, n_res)
+
+    # encoder-simulation output: the convergence point for the bitstream
+    # reorder, with the never-converged fallback (ari_codec.c:1135-1143)
+    if pc_enc_sim:
+        b_left = jnp.where(st.b_left > cfg.targetBytes,
+                           st.bp_side - pcb, st.b_left)
+    else:
+        b_left = st.b_left
     return dict(x=x, tns_order=tns_order, tns_idx=tns_idx, nf_seed=nf_seed,
                 zero_frame=zero_frame, res_bits=res_bits,
-                n_res=jnp.where(lsb_mode == 0, n_res0, 0),
-                residual_present=(lsb_mode == 0).astype(I32), bfi=bfi)
+                n_res=n_res,
+                residual_present=(lsb_mode == 0).astype(I32), bfi=bfi,
+                spec_inv_idx=spec_inv_idx, b_left=b_left)

@@ -963,10 +963,13 @@ def fec_decode(frames, *, slot_bytes: int, ccc_flag: int = 0, bfi_in=None):
         if n_pccw0 == 0:
             continue
         trust = per_mode[m]["trust"]                        # [B, n_rem]
-        # trust index j corresponds to codeword ncw-1-j
+        # trust index j corresponds to codeword ncw-1-j. Keep the real
+        # flags even on CRC2-only failures: the per-codeword risk check
+        # (al_fec.c:1441-1444) can clear trust without setting bfi=2, and
+        # the reference derives the span from array_of_trust as-is
+        # (al_fec.c:840-870); all-trusted lanes fall into the
+        # first_bad == n_pccw -> be_bp_left = 0 special case below.
         tr = trust[:, ::-1][:, :n_pccw0]                    # [B, n_pccw0]
-        crc2_only = crc2_fail & (det_m == m)
-        tr = jnp.where(crc2_only[:, None], True, tr)
         bad = ~tr
         any_bad = jnp.any(bad, 1)
         first_bad = jnp.where(any_bad, jnp.argmax(bad, 1), n_pccw0)

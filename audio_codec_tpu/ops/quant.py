@@ -394,11 +394,14 @@ def _lcg_tables(n: int):
     return mult, add
 
 
-def noise_filling(cfg: Config, x, nf_seed, fac_ns_idx, bw_bin):
+def noise_filling(cfg: Config, x, nf_seed, fac_ns_idx, bw_bin,
+                  spec_inv_idx=None, fac_ns_pc=None):
     """processNoiseFilling_fl with the LCG advanced in closed form.
 
     x: [B, N] decoded spectrum; nf_seed: [B] i32 (signed 16-bit);
-    bw_bin: [B] stopband cutoff. Returns filled spectrum.
+    bw_bin: [B] stopband cutoff. With partial concealment, bins at or above
+    spec_inv_idx fill at the previous frame's level fac_ns_pc instead
+    (noise_filling_fx.c:94-126). Returns filled spectrum.
     """
     B, N = x.shape
     width = 3 if cfg.frame_dms == 100 else 1
@@ -424,5 +427,9 @@ def noise_filling(cfg: Config, x, nf_seed, fac_ns_idx, bw_bin):
     # harmless because only the low 16 bits are kept
     su = (seed_u[:, None] * mult[r + 1] + add[r + 1]) & jnp.uint32(65535)
     sign_neg = su < 32768  # signed seed = su - 32768 < 0
-    fill = jnp.where(sign_neg, -fac[:, None], fac[:, None])
+    level = fac[:, None]
+    if spec_inv_idx is not None:
+        level = jnp.where(k < spec_inv_idx[:, None], level,
+                          fac_ns_pc[:, None])
+    fill = jnp.where(sign_neg, -level, level)
     return jnp.where(zline, fill, x)

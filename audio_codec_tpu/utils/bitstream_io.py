@@ -97,16 +97,16 @@ def write_g192_frame(f, payload: bytes, good: bool = True) -> None:
 
 
 def read_g192_frame(f) -> tuple[bytes | None, int]:
-    """Returns (payload or None at EOF, bfi flag)."""
+    """Returns (payload or None at EOF, bfi flag: 0 good / 1 bad /
+    3 redundancy frame — read_bitstream_frame_G192, codec_exe.c:845-895)."""
     raw = f.read(4)
     if len(raw) < 4:
         return None, 0
     sync, nbits = struct.unpack("<HH", raw)
-    nbytes = nbits // 8
     vals = np.frombuffer(f.read(2 * nbits), "<u2")
     bits = (vals == G192_ONE).astype(np.uint8)
     payload = np.packbits(bits.reshape(-1, 8), axis=1, bitorder="little").ravel()
-    bfi = 1 if sync == G192_BAD_FRAME else 0
     if sync == G192_BAD_FRAME:
         return b"", 1
+    bfi = 3 if sync == G192_REDUNDANCY_FRAME else 0
     return payload.tobytes(), bfi
