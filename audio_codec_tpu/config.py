@@ -37,6 +37,10 @@ class Config:
     epmode: int = 0         # channel-coder error protection mode, 0..4
     ch_idx: int = 0         # which channel this Config's budgets describe
                             # (per-channel byte split, setup_enc_lc3.c:192-196)
+    plc_mode: int = 0       # 0 = standard concealment (float reference,
+                            # plc_noise_substitution0.c); 1 = advanced PLC
+                            # (fixed-point reference: classifier + TD-PLC +
+                            # damped/scrambled noise substitution, ops/plc_adv)
 
     # ---- derived (filled by __post_init__ via object.__setattr__) ----
     fs: int = 0

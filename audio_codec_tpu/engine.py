@@ -42,7 +42,7 @@ def _enc_step(cfg: Config):
 @functools.cache
 def _dec_step(cfg: Config):
     @jax.jit
-    def step(st, payload, bfi, be_l, be_r):
+    def step(st, payload, bfi, be_l=None, be_r=None):
         return dec_m.decode_frame(cfg, st, payload, bfi, be_l, be_r)
     return step
 

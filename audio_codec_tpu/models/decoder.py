@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 from .. import tables as T
 from ..config import Config
-from ..ops import ari, bits, ltpf_dec, pc, plc, quant, sns, tns, transforms
+from ..ops import ari, bits, ltpf_dec, pc, plc, plc_adv, quant, sns, transforms
+from ..ops import tns
 from .state import DecState
 
 I32 = jnp.int32
@@ -98,10 +99,15 @@ def decode_frame(cfg: Config, st: DecState, frame_bytes: jnp.ndarray,
     gains = sns.interpolate_scf(cfg, scf_q, encoder_side=False)
     x = jnp.where(good[:, None], sns.mdct_shaping(cfg, x, gains), x)
 
-    # PLC (method 0, every frame; conceal iff bfi == 1)
-    x, q_d_prev, nb_lost, cum_alpha, seed = plc.plc_main(
-        cfg, x, st.plc_q_d_prev, bfi, st.plc_nbLostCmpt, st.plc_cum_alpha,
-        st.plc_seed)
+    adv = {}
+    if cfg.plc_mode == 0:
+        # PLC (method 0, every frame; conceal iff bfi == 1)
+        x, q_d_prev, nb_lost, cum_alpha, seed = plc.plc_main(
+            cfg, x, st.plc_q_d_prev, bfi, st.plc_nbLostCmpt,
+            st.plc_cum_alpha, st.plc_seed)
+    else:
+        x, q_d_prev, nb_lost, cum_alpha, seed, adv = _plc_advanced(
+            cfg, st, x, bfi, side, spec_inv_idx, stab_fac)
 
     # bins above yLen are always zero at the IMDCT input (dec_lc3_fl.c keeps
     # sqQdec_fl sized MAX_LEN but only writes yLen entries)
@@ -110,6 +116,10 @@ def decode_frame(cfg: Config, st: DecState, frame_bytes: jnp.ndarray,
     else:
         x_full = x
     pcm, imdct_mem = transforms.imdct(cfg, x_full, st.imdct_mem)
+    if cfg.plc_mode and "tdc_pcm" in adv:
+        tdc_lane = adv["tdc_lane"][:, None]
+        pcm = jnp.where(tdc_lane, adv["tdc_pcm"], pcm)
+        imdct_mem = jnp.where(tdc_lane, adv["tdc_ola"], imdct_mem)
 
     nb_lost, cum_alpha, prev_bfi, prevprev_bfi = plc.plc_update(
         bfi, nb_lost, cum_alpha, st.plc_prevBfi, st.plc_prevprevBfi)
@@ -118,6 +128,11 @@ def decode_frame(cfg: Config, st: DecState, frame_bytes: jnp.ndarray,
         cfg, pcm, bfi, side["ltpf_param"], st.ltpf_param_mem, st.ltpf_mem_x,
         st.ltpf_mem_y, st.ltpf_mem_pitch_int, st.ltpf_mem_pitch_fr,
         st.ltpf_mem_gain, st.ltpf_mem_beta_idx)
+
+    if cfg.plc_mode:
+        st = st.replace(
+            plc_x_old_tot=plc_adv.update_pcm_hist(st.plc_x_old_tot, pcm),
+            **{k: v for k, v in adv.items() if not k.startswith("tdc_")})
 
     st = st.replace(
         imdct_mem=imdct_mem, ltpf_mem_x=mem_x, ltpf_mem_y=mem_y,
@@ -135,6 +150,74 @@ def decode_frame(cfg: Config, st: DecState, frame_bytes: jnp.ndarray,
     aux = dict(bfi=bfi, bw_idx=side["bw_idx"], gg_idx=side["gg_idx"],
                spec=x, spec_inv_idx=spec_inv_idx)
     return st, y, aux
+
+
+def _plc_advanced(cfg: Config, st: DecState, x, bfi, side, spec_inv_idx,
+                  stab_fac):
+    """Advanced PLC dispatch (processPLCclassify/apply, plc_apply_fx.c):
+    per-lane method select on the first loss of a burst, TD-PLC for pitched
+    stable signals, damped/scrambled noise substitution otherwise, plus the
+    bfi==2 damping/scrambling of partially concealed spectra.
+
+    Returns (x, q_d_prev, nb_lost, cum_alpha, seed, adv) where adv carries
+    DecState field updates and the TDC time-domain override."""
+    B, N = x.shape
+    lost = bfi == 1
+    nb_cur = jnp.where(lost, st.plc_nbLostCmpt + 1, st.plc_nbLostCmpt)
+    first = lost & (nb_cur == 1)
+    pitch_int = st.ltpf_mem_pitch_int
+
+    meth_new, _nc = plc_adv.classify(cfg, st.plc_x_old_tot, st.plc_scf_q,
+                                     pitch_int)
+    # Phase ECU (method 2) pending: fall back to noise substitution
+    meth_new = jnp.where(meth_new == 2, 4, meth_new)
+    meth = jnp.where(first, meth_new, st.plc_meth)
+    tdc_lane = lost & (meth == 3)
+    ns_lane = lost & (meth != 3)
+
+    # ---- TD-PLC (method 3) ----
+    a = jnp.where(first[:, None], plc_adv.tdc_lpc(cfg, st.plc_q_d_prev),
+                  st.plc_tdc_a)
+    fract = jnp.where(first, st.ltpf_mem_pitch_fr, st.plc_tdc_fract)
+    tdc = plc_adv.tdc_apply(
+        cfg, pitch_int, fract, a, st.plc_x_old_tot, nb_cur, stab_fac,
+        st.plc_tdc_seed, st.plc_tdc_gain_c, st.plc_tdc_alpha,
+        st.plc_harmonic, st.plc_synth_hist, st.plc_harmonic_len, tdc_lane)
+    tdc_pcm = tdc["synth"][:, : cfg.frame_length]
+    tdc_ola = plc_adv.tdac(cfg, tdc["synth"])
+
+    # ---- noise substitution (method 4) on the last good shaped spectrum
+    ns_spec = plc_adv.noise_substitution(st.plc_q_d_prev)
+    x = jnp.where(ns_lane[:, None], ns_spec, x)
+
+    # ---- damping + scrambling: bfi==1 NS lanes, then bfi==2 PC lanes
+    zero_inv = jnp.zeros((B,), I32)
+    x, cum_fflc, cum_slow, cum_fast, ns_seed = plc_adv.damping_scrambling(
+        cfg, x, nb_cur, stab_fac, scramble=ns_lane, cum_fflc=st.plc_cum_fflc,
+        cum_slow=st.plc_cum_slow, cum_fast=st.plc_cum_fast,
+        pitch_present=(pitch_int > 0).astype(I32), seed=st.plc_ns_seed,
+        spec_inv_idx=zero_inv, active=lost)
+    is_pc = bfi == 2
+    x, cum_fflc, cum_slow, cum_fast, pc_seed = plc_adv.damping_scrambling(
+        cfg, x, st.pc_nb_lost, stab_fac, scramble=is_pc, cum_fflc=cum_fflc,
+        cum_slow=cum_slow, cum_fast=cum_fast,
+        pitch_present=side["ltpf_param"][:, 0], seed=st.pc_seed,
+        spec_inv_idx=spec_inv_idx, active=is_pc)
+
+    # history: keep the last good spectrum through a burst; bfi==2 frames
+    # store their scrambled spectrum (processPLCupdateSpec after
+    # DampingScrambling, plc_damping_scrambling_fx.c:44-48)
+    q_d_prev = jnp.where(lost[:, None], st.plc_q_d_prev, x)
+
+    adv = dict(plc_meth=meth, plc_tdc_a=a, plc_tdc_seed=tdc["seed"],
+               plc_tdc_gain_c=tdc["gain_c"], plc_tdc_alpha=tdc["alpha"],
+               plc_tdc_fract=tdc["fract"], plc_harmonic=tdc["harmonic_buf"],
+               plc_harmonic_len=tdc["harmonic_len"],
+               plc_synth_hist=tdc["synth_hist"], plc_cum_fflc=cum_fflc,
+               plc_cum_slow=cum_slow, plc_cum_fast=cum_fast,
+               plc_ns_seed=ns_seed, pc_seed=pc_seed,
+               tdc_pcm=tdc_pcm, tdc_ola=tdc_ola, tdc_lane=tdc_lane)
+    return (x, q_d_prev, nb_cur, st.plc_cum_alpha, st.plc_seed, adv)
 
 
 def round_pcm(y, bps: int = 16):

@@ -15,6 +15,12 @@ from flax import struct
 
 from .. import tables as T
 from ..config import Config
+from ..ops import plc_adv
+
+
+def _adv(cfg: Config, n: int) -> int:
+    """Advanced-PLC buffers are zero-width when the mode is off."""
+    return n if cfg.plc_mode else 0
 
 
 @struct.dataclass
@@ -113,6 +119,23 @@ class DecState:
     plc_seed: jnp.ndarray          # [B] int32, init 24607
     plc_scf_q: jnp.ndarray         # [B, 16] last good scale factors
     plc_old_scf_q: jnp.ndarray     # [B, 16] two-frames-back scale factors
+    # advanced PLC (AplcSetup, setup_dec_lc3.c:118-160); zero-width when
+    # cfg.plc_mode == 0
+    plc_x_old_tot: jnp.ndarray     # [B, max_pitch + frame] PCM history
+    plc_meth: jnp.ndarray          # [B] i32 concealMethod for the burst
+    plc_tdc_a: jnp.ndarray         # [B, 17] LPC coefficients
+    plc_tdc_seed: jnp.ndarray      # [B] i32, init 24607
+    plc_tdc_gain_c: jnp.ndarray    # [B]
+    plc_tdc_alpha: jnp.ndarray     # [B] damping / gain_p memory
+    plc_tdc_fract: jnp.ndarray     # [B] i32 pitch fraction
+    plc_harmonic: jnp.ndarray      # [B, max_pitch] repeated pitch cycle
+    plc_harmonic_len: jnp.ndarray  # [B] i32
+    plc_synth_hist: jnp.ndarray    # [B, 16] LPC synthesis memory
+    plc_cum_fflc: jnp.ndarray      # [B] cumulative rapid-fade factor
+    plc_cum_slow: jnp.ndarray      # [B]
+    plc_cum_fast: jnp.ndarray      # [B]
+    plc_ns_seed: jnp.ndarray       # [B] i32, init 24607 (scrambling, bfi=1)
+    pc_seed: jnp.ndarray           # [B] i32, init 24607 (scrambling, bfi=2)
     # partial concealment (setup_dec_lc3.h q_old_res/prev_gg/..., DecSetup)
     pc_q_old_res: jnp.ndarray      # [B, yLen] last raw residual spectrum
     pc_prev_gg: jnp.ndarray        # [B] float32
@@ -144,6 +167,21 @@ def dec_state_init(cfg: Config, n_streams: int) -> DecState:
         plc_seed=jnp.full((B,), 24607, i32),
         plc_scf_q=z(16),
         plc_old_scf_q=z(16),
+        plc_x_old_tot=z(_adv(cfg, plc_adv.pcm_hist_len(cfg))),
+        plc_meth=zi(),
+        plc_tdc_a=z(_adv(cfg, 17)),
+        plc_tdc_seed=jnp.full((B,), 24607, i32),
+        plc_tdc_gain_c=z(),
+        plc_tdc_alpha=z(),
+        plc_tdc_fract=zi(),
+        plc_harmonic=z(_adv(cfg, plc_adv.max_pitch(cfg))),
+        plc_harmonic_len=jnp.ones((B,), i32),
+        plc_synth_hist=z(_adv(cfg, 16)),
+        plc_cum_fflc=jnp.ones((B,), f32),
+        plc_cum_slow=jnp.ones((B,), f32),
+        plc_cum_fast=jnp.ones((B,), f32),
+        plc_ns_seed=jnp.full((B,), 24607, i32),
+        pc_seed=jnp.full((B,), 24607, i32),
         pc_q_old_res=z(cfg.yLen),
         pc_prev_gg=z(),
         pc_prev_bw_idx=zi(),

@@ -67,6 +67,80 @@ def parse_numbers(body: str) -> list[float]:
     return out
 
 
+SRC_FX = REPO / ".oracle/src/fixed_point/constants.c"
+
+# fixed-point-only tables (the advanced-PLC chain exists only in the
+# fixed-point build, SURVEY.md §2.3); parsed from Word16/Word32 literals
+FX_DECL_RE = re.compile(r"const\s+(Word16|Word32)\s+(\w+)\s*\[\s*(\w+)\s*\]\s*=\s*\{")
+
+_FS_TAGS = ["8000", "16000", "24000", "32000", "48000"]
+# concrete per-fs pre-emphasis arrays per frame duration (pointer tables
+# lpc_lin_pre_emphasis{,_5ms,_2_5ms} in fixed constants.c)
+_PREEMPH_MAP = {
+    "100": ["80_8000", "80_16000", "80_24000", "80_32000", "80_48000"],
+    "50": ["40_8000", "80_16000", "40_24000", "80_32000", "80_48000"],
+    "25": ["20_8000", "40_16000", "60_24000", "80_32000", "60_48000"],
+}
+_BANDS_LIN_MAP = {
+    "100": _FS_TAGS,
+    "50": ["8000", "8000", "24000", "16000", "24000"],
+    "25": ["8000", "8000", "8000", "8000", "16000"],
+}
+
+
+def _fx_arrays(text: str) -> dict[str, np.ndarray]:
+    """Parse all 1-D Word16/Word32 arrays from fixed-point constants.c
+    into raw signed integer arrays."""
+    out: dict[str, np.ndarray] = {}
+    for m in FX_DECL_RE.finditer(text):
+        ctype, name = m.group(1), m.group(2)
+        end = matching_brace(text, m.end() - 1)
+        body = re.sub(r"\((?:Word16|Word32|UWord16|UWord32)\)", " ",
+                      text[m.end() - 1 : end])
+        vals = []
+        for tok in re.findall(r"[-+]?(?:0[xX][0-9a-fA-F]+|\d+)", body):
+            v = int(tok, 0)
+            bits = 16 if ctype == "Word16" else 32
+            if v >= 1 << (bits - 1):
+                v -= 1 << bits
+            vals.append(v)
+        out[name] = np.array(vals, np.int64)
+    return out
+
+
+def extract_fixed(tables: dict[str, np.ndarray]) -> None:
+    """Advanced-PLC tables (TDC filters, lag windows, linear band offsets,
+    band-energy pre-emphasis, scf de-emphasis) from the fixed-point source."""
+    fx = _fx_arrays(SRC_FX.read_text())
+
+    def q15(name):
+        return (fx[name] / 32768.0).astype(np.float64)
+
+    tables["plc_preemph_fac"] = q15("plc_preemph_fac")
+    for n in ("TDC_high_16", "TDC_high_32", "TDC_high_16_harm",
+              "TDC_high_32_harm"):
+        tables[n] = q15(n)
+    tables["plc_lag_win"] = np.stack(
+        [fx[f"lag_win_{t}"] / 2 ** 31
+         for t in ("8k", "16k", "24k", "32k", "48k")])
+    tables["plc_rect_len"] = fx["rectLengthTab"].astype(np.int32)
+    for t in _FS_TAGS:
+        tables[f"bands_offset_{t}_lpc_lin"] = \
+            fx[f"bands_offset_{t}_lpc_lin"].astype(np.int32)
+    for dms, names in _PREEMPH_MAP.items():
+        for fs_i, tag in enumerate(names):
+            m_ = fx[f"lpc_lin_pre_emphasis_{tag}"]
+            e_ = fx[f"lpc_lin_pre_emphasis_{tag.replace('_', '_e_', 1)}"]
+            tables[f"plc_lin_pre_emph_{dms}_{fs_i}"] = \
+                m_ / 32768.0 * np.exp2(e_)
+    warp = []
+    for t in _FS_TAGS:
+        m_ = fx[f"lpc_warp_dee_emphasis_16_{t}"]
+        e_ = fx[f"lpc_warp_dee_emphasis_16_e_{t}"]
+        warp.append(m_ / 32768.0 * np.exp2(e_))
+    tables["plc_warp_dee_emphasis"] = np.stack(warp)
+
+
 def main() -> None:
     text = SRC.read_text()
     tables: dict[str, np.ndarray] = {}
@@ -82,7 +156,8 @@ def main() -> None:
         dtype = np.int32 if ctype == "LC3_INT" else np.float64
         arr = np.array(vals, dtype=np.float64).reshape(dims)
         tables[name] = arr.astype(dtype)
-    src_hash = hashlib.sha256(text.encode()).hexdigest()
+    extract_fixed(tables)
+    src_hash = hashlib.sha256(text.encode() + SRC_FX.read_bytes()).hexdigest()
     tables["__source_sha256__"] = np.frombuffer(bytes.fromhex(src_hash), dtype=np.uint8)
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **tables)
