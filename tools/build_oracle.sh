@@ -18,4 +18,12 @@ if [[ ! -x "$ORACLE/src/floating_point/LC3plus" || ! -x "$ORACLE/src/fixed_point
   make -C "$ORACLE/src/floating_point" -j"$(nproc)" OPTIM=2
   make -C "$ORACLE/src/fixed_point" -j"$(nproc)" OPTIM=2
 fi
+if [[ ! -x "$ORACLE/src/fixed_point/ccConvert" ]]; then
+  # ccConvert as shipped requests PLC mode 0, which the fixed-point build
+  # rejects (lc3.c:84-90 only accepts LC3_PLC_ADVANCED) -> it always exits
+  # with "Invalid PLC method!". Patch the scratch copy to request mode 1.
+  sed -i 's/arg->bitrate      = 0;/arg->bitrate      = 0;\n    arg->plcMeth      = 1;/' \
+    "$ORACLE/src/fixed_point/ccConvert.c"
+  make -C "$ORACLE/src/fixed_point" ccConvert -j"$(nproc)" OPTIM=2
+fi
 echo "oracle ready: $ORACLE/src/{floating_point,fixed_point}/LC3plus"
