@@ -49,15 +49,39 @@ def _slot_cfg(h: bio.StreamHeader, slot_bytes: int, epmode: int) -> Config:
 
 def pack_frames(h: bio.StreamHeader, frames: list[bytes], gross_bytes: int,
                 epmode: int) -> list[bytes]:
-    """EP0 frames -> channel-coded frames of ch*gross_bytes each."""
+    """EP0 frames -> channel-coded frames of ch*gross_bytes each.
+
+    Multichannel frames whose total slot fits 160 bytes use combined channel
+    coding (one FEC slot over the concatenated channel payloads): a
+    conformant EP decoder engages ccc whenever channels > 1 and the frame is
+    <= 160 bytes (dec_lc3.c:343), so emitting per-channel slots in that
+    regime would be undecodable. The reference tool sidesteps this by being
+    effectively mono-only (ccConvert.c:578 assert)."""
     if not 1 <= epmode <= 4:
         raise ValueError(f"epmode must be 1..4, got {epmode}")
     ch = h.channels
+    ccc = ch > 1 and ch * gross_bytes <= 160
+    if ccc:
+        total_slot = ch * gross_bytes
+        data_total = fec.fec_get_data_size(epmode, 1, total_slot)
+        out: list[bytes] = []
+        for fr in frames:
+            raw = np.frombuffer(fr, np.uint8)
+            if len(raw) != data_total:
+                raise ValueError(
+                    f"frame carries {len(raw)} bytes but epmode {epmode} at "
+                    f"{total_slot} combined gross bytes protects {data_total}")
+            coded = np.asarray(fec.fec_encode(
+                jnp.asarray(raw.astype(np.int32)[None]),
+                jnp.zeros((1,), jnp.int32), slot_bytes=total_slot,
+                mode=epmode, ccc_flag=1)).astype(np.uint8)
+            out.append(coded[0].tobytes())
+        return out
     data_bytes = fec.fec_get_data_size(epmode, 0, gross_bytes)
     n_pccw = fec.fec_get_n_pccw(gross_bytes, epmode, 0)
     n_pc = fec.fec_get_n_pc(epmode, n_pccw, gross_bytes)
     cfg = None
-    out: list[bytes] = []
+    out = []
     for fr in frames:
         raw = np.frombuffer(fr, np.uint8)
         coded_ch: list[bytes] = []
@@ -99,7 +123,14 @@ def _unreorder_payload(data: np.ndarray, b_left: int, n_pc: int) -> np.ndarray:
 
 def unpack_frames(h: bio.StreamHeader, frames: list[bytes]
                   ) -> tuple[list[bytes], int]:
-    """Protected frames -> EP0 core frames. Returns (frames, n_bad)."""
+    """Protected frames -> EP0 core frames. Returns (frames, n_bad).
+
+    Mirrors the reference binary-format path (ccConvert.c:195-240): every
+    frame is written with whatever the FEC decoder produced — a channel that
+    fails FEC decode contributes zero bytes while successfully decoded
+    channels are kept; n_bad counts frames with at least one failed channel.
+    Combined channel coding (channels > 1, frame <= 160 bytes, dec_lc3.c:343)
+    is detected per frame and decoded as one slot."""
     from .ops import ari, bits
     ch = h.channels
     cfg_cache: dict[tuple[int, int], Config] = {}
@@ -107,6 +138,22 @@ def unpack_frames(h: bio.StreamHeader, frames: list[bytes]
     n_bad = 0
     for fr in frames:
         raw = np.frombuffer(fr, np.uint8)
+        if ch > 1 and len(raw) <= 160:
+            # combined channel coding: one FEC slot over all channels; ccc
+            # never carries PC codewords (fec_get_n_pccw, al_fec.c:379-390)
+            # so no de-reordering is needed
+            dec = fec.fec_decode(jnp.asarray(raw.astype(np.int32)[None]),
+                                 slot_bytes=len(raw), ccc_flag=1)
+            bfi = int(np.asarray(dec["bfi"])[0])
+            mode = int(np.asarray(dec["mode"])[0])
+            db = int(np.asarray(dec["data_bytes"])[0])
+            if bfi == 1 or mode < 1 or db == 0:
+                n_bad += 1
+                out.append(b"")
+            else:
+                out.append(np.asarray(dec["data"])[0, :db]
+                           .astype(np.uint8).tobytes())
+            continue
         parts: list[bytes] = []
         bad = False
         off = 0
@@ -136,14 +183,22 @@ def unpack_frames(h: bio.StreamHeader, frames: list[bytes]
                 ares = ari.decode(scfg, jb, side)
                 b_left = int(np.asarray(ares["b_left"])[0])
                 blk = (n_pc + 1) >> 1
+                # b_left > db is the no-convergence sentinel (ari.py inits
+                # b_left to numbytes + 1): the transmitted frame was never
+                # reordered, so there is nothing to undo
                 if 0 < b_left <= db:
+                    # reference asserts the adjusted offset is non-negative
+                    # (processReorderBitstream_dec_fx, ccConvert.c:787);
+                    # a convergence point inside the moved block on a frame
+                    # that passed FEC is a corrupt frame, not a crash
+                    if b_left < blk:
+                        bad = True
+                        continue
                     data = _unreorder_payload(data, b_left - blk, n_pc)
             parts.append(data.tobytes())
         if bad:
             n_bad += 1
-            out.append(b"")
-        else:
-            out.append(b"".join(parts))
+        out.append(b"".join(parts))
     return out, n_bad
 
 
@@ -167,10 +222,12 @@ def main(argv: list[str] | None = None) -> int:
         if h.epmode != 0:
             ap.error("pack mode needs an unprotected input bitstream")
         out = pack_frames(h, frames, gross, epmode)
+        # ccConvert writes an 18-byte header with the full epmode 0..4
+        # (ccConvert.c:353-362); compact keeps tool output byte-identical
         bio.write_all(args.output, bio.StreamHeader(
             samplerate=h.samplerate, bitrate=h.bitrate, channels=h.channels,
             frame_ms=h.frame_ms, epmode=epmode, signal_len=h.signal_len,
-            hrmode=h.hrmode), out)
+            hrmode=h.hrmode), out, compact=not h.hrmode)
         print(f"packed {len(out)} frames -> ep{epmode}, "
               f"{h.channels}x{gross} bytes/frame")
     else:
@@ -180,7 +237,7 @@ def main(argv: list[str] | None = None) -> int:
         bio.write_all(args.output, bio.StreamHeader(
             samplerate=h.samplerate, bitrate=h.bitrate, channels=h.channels,
             frame_ms=h.frame_ms, epmode=0, signal_len=h.signal_len,
-            hrmode=h.hrmode), out)
+            hrmode=h.hrmode), out, compact=not h.hrmode)
         print(f"unpacked {len(out)} frames ({n_bad} undecodable)")
     return 0
 

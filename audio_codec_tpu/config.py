@@ -54,6 +54,8 @@ class Config:
     tnsMaxOrder: int = 0
     sns_damping: float = 0.0
     BW_cutoff_bits: int = 0
+    bw_ctrl_cutoff_bin: int = 0   # forced-cutoff bin (lc3_enc_set_bandwidth)
+    bw_ctrl_index: int = 0        # max signaled bw_idx under forced cutoff
     # bitrate-derived (per channel)
     ccc: int = 0            # combined channel coding (multichannel FEC)
     slotBytes: int = 0      # channel-coder slot size (== targetBytes if ep off)
@@ -101,6 +103,19 @@ class Config:
         s(self, "tnsMaxOrder", 8 if self.frame_dms > 50 else 4)
         s(self, "sns_damping", 0.6 if hrmode else 0.85)
         s(self, "BW_cutoff_bits", 0 if hrmode else int(T.t("BW_cutoff_bits_all")[fs_idx]))
+
+        # --- bandwidth controller (lc3_enc_set_bandwidth, lc3.c:187-207) ---
+        if self.bandwidth:
+            if hrmode:
+                raise ValueError("high resolution mode and bandwidth "
+                                 "switching are exclusive (LC3_HRMODE_BW_ERROR)")
+            effective_fs = min(self.fs_in, 40000)
+            if self.bandwidth * 2 > effective_fs:
+                raise ValueError(f"invalid bandwidth frequency "
+                                 f"{self.bandwidth} (LC3_BW_WARNING)")
+            s(self, "bw_ctrl_cutoff_bin",
+              self.bandwidth * self.frame_dms // 5000)
+            s(self, "bw_ctrl_index", max(0, self.bandwidth // 4000 - 1))
 
         # --- bitrate-derived (update_enc_bitrate, setup_enc_lc3.c:146-260) ---
         ch = self.channels

@@ -11,6 +11,7 @@ region from the previous frame (ops/pc.py).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .. import tables as T
@@ -38,9 +39,11 @@ def decode_frame(cfg: Config, st: DecState, frame_bytes: jnp.ndarray,
     rframe = (bfi == 3).astype(I32)
     bfi = jnp.where(bfi == 3, 2, bfi)
 
-    side = bits.parse_side_info(cfg, buf)
-    dec = ari.decode(cfg, buf, side, bfi_in=bfi, be_bp_left=be_bp_left,
-                     be_bp_right=be_bp_right)
+    with jax.named_scope("DecoderEntropy"):
+        side = bits.parse_side_info(cfg, buf)
+    with jax.named_scope("AriDecoder"):
+        dec = ari.decode(cfg, buf, side, bfi_in=bfi, be_bp_left=be_bp_left,
+                         be_bp_right=be_bp_right)
     # side-parse failures and transport loss dominate; the ari decoder's
     # bfi already folds in the input bfi==2 / PC classification
     bfi = jnp.where(side["bfi"] == 1, 1,
@@ -92,12 +95,16 @@ def decode_frame(cfg: Config, st: DecState, frame_bytes: jnp.ndarray,
                              bw_bin_nf, spec_inv_idx, st.pc_prev_fac_ns)
     x = jnp.where((dec["zero_frame"] == 0)[:, None] & good[:, None], nf, x)
 
-    x = jnp.where(good[:, None], quant.apply_global_gain(cfg, x, side["gg_idx"]), x)
-    x = jnp.where(good[:, None],
-                  tns.tns_decode(cfg, x, dec["tns_idx"], dec["tns_order"],
-                                 side["num_tns"], side["bw_idx"]), x)
-    gains = sns.interpolate_scf(cfg, scf_q, encoder_side=False)
-    x = jnp.where(good[:, None], sns.mdct_shaping(cfg, x, gains), x)
+    with jax.named_scope("ApplyGlobalGain"):
+        x = jnp.where(good[:, None],
+                      quant.apply_global_gain(cfg, x, side["gg_idx"]), x)
+    with jax.named_scope("TnsDecoder"):
+        x = jnp.where(good[:, None],
+                      tns.tns_decode(cfg, x, dec["tns_idx"], dec["tns_order"],
+                                     side["num_tns"], side["bw_idx"]), x)
+    with jax.named_scope("MdctShapingDec"):
+        gains = sns.interpolate_scf(cfg, scf_q, encoder_side=False)
+        x = jnp.where(good[:, None], sns.mdct_shaping(cfg, x, gains), x)
 
     adv = {}
     if cfg.plc_mode == 0:
@@ -115,7 +122,8 @@ def decode_frame(cfg: Config, st: DecState, frame_bytes: jnp.ndarray,
         x_full = jnp.pad(x, ((0, 0), (0, cfg.frame_length - N)))
     else:
         x_full = x
-    pcm, imdct_mem = transforms.imdct(cfg, x_full, st.imdct_mem)
+    with jax.named_scope("Imdct"):
+        pcm, imdct_mem = transforms.imdct(cfg, x_full, st.imdct_mem)
     if cfg.plc_mode and "tdc_pcm" in adv:
         tdc_lane = adv["tdc_lane"][:, None]
         pcm = jnp.where(tdc_lane, adv["tdc_pcm"], pcm)
@@ -124,10 +132,11 @@ def decode_frame(cfg: Config, st: DecState, frame_bytes: jnp.ndarray,
     nb_lost, cum_alpha, prev_bfi, prevprev_bfi = plc.plc_update(
         bfi, nb_lost, cum_alpha, st.plc_prevBfi, st.plc_prevprevBfi)
 
-    y, mem_x, mem_y, lm = ltpf_dec.ltpf_decode(
-        cfg, pcm, bfi, side["ltpf_param"], st.ltpf_param_mem, st.ltpf_mem_x,
-        st.ltpf_mem_y, st.ltpf_mem_pitch_int, st.ltpf_mem_pitch_fr,
-        st.ltpf_mem_gain, st.ltpf_mem_beta_idx)
+    with jax.named_scope("LtpfDecoder"):
+        y, mem_x, mem_y, lm = ltpf_dec.ltpf_decode(
+            cfg, pcm, bfi, side["ltpf_param"], st.ltpf_param_mem,
+            st.ltpf_mem_x, st.ltpf_mem_y, st.ltpf_mem_pitch_int,
+            st.ltpf_mem_pitch_fr, st.ltpf_mem_gain, st.ltpf_mem_beta_idx)
 
     if cfg.plc_mode:
         st = st.replace(

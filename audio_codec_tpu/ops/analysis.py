@@ -373,3 +373,20 @@ def detect_cutoff_warped(cfg: Config, ener):
             hit = hit | (e_diff > thr)
         brick = jnp.where(sel, hit, brick)
     return jnp.where((bw_idx < cfg.fs_idx) & ~brick, cfg.fs_idx, bw_idx).astype(jnp.int32)
+
+
+def cutoff_bandwidth(cfg: Config, d):
+    """Bandwidth controller (process_cutoff_bandwidth, cutoff_bandwidth.c:
+    13-26): taper the four bins straddling the forced cutoff by
+    2^-1 .. 2^-4 and zero everything above, up to yLen. The mask is a
+    trace-time constant, so this fuses into the preceding shaping multiply."""
+    bw_bin = cfg.bw_ctrl_cutoff_bin
+    D = d.shape[-1]
+    if cfg.yLen <= bw_bin:
+        return d
+    mask = np.ones((D,), np.float32)
+    for i in range(-1, 3):
+        if 0 <= bw_bin + i < cfg.yLen:
+            mask[bw_bin + i] = 2.0 ** -(i + 2)
+    mask[bw_bin + 3: cfg.yLen] = 0.0
+    return d * jnp.asarray(mask)

@@ -33,9 +33,21 @@ class StreamHeader:
     hrmode: int = 0
 
 
-def write_header(f, h: StreamHeader) -> None:
+def write_header(f, h: StreamHeader, compact: bool = False) -> None:
+    """Writes the container header. epmode goes out verbatim: the codec CLI
+    stores 0/1 (codec_exe.c open_bitstream_writer `epmode > 0 ? 1 : 0` — the
+    caller clamps), while ccConvert stores the full mode 0..4
+    (ccConvert.c:353-362). `compact` selects ccConvert's 18-byte / 9-word
+    header (no hrmode word) for byte-identical tool output."""
+    if compact:
+        f.write(struct.pack("<9H", MAGIC, 18, h.samplerate // 100,
+                            h.bitrate // 100, h.channels,
+                            int(h.frame_ms * 100), h.epmode,
+                            h.signal_len & 0xFFFF,
+                            (h.signal_len >> 16) & 0xFFFF))
+        return
     f.write(struct.pack("<10H", MAGIC, 20, h.samplerate // 100, h.bitrate // 100,
-                        h.channels, int(h.frame_ms * 100), 1 if h.epmode else 0,
+                        h.channels, int(h.frame_ms * 100), h.epmode,
                         h.signal_len & 0xFFFF, (h.signal_len >> 16) & 0xFFFF,
                         h.hrmode))
 
@@ -76,9 +88,10 @@ def read_all(path: Path | str) -> tuple[StreamHeader, list[bytes]]:
     return h, frames
 
 
-def write_all(path: Path | str, h: StreamHeader, frames: list[bytes]) -> None:
+def write_all(path: Path | str, h: StreamHeader, frames: list[bytes],
+              compact: bool = False) -> None:
     with open(path, "wb") as f:
-        write_header(f, h)
+        write_header(f, h, compact=compact)
         for fr in frames:
             write_frame(f, fr)
 

@@ -22,8 +22,15 @@ if [[ ! -x "$ORACLE/src/fixed_point/ccConvert" ]]; then
   # ccConvert as shipped requests PLC mode 0, which the fixed-point build
   # rejects (lc3.c:84-90 only accepts LC3_PLC_ADVANCED) -> it always exits
   # with "Invalid PLC method!". Patch the scratch copy to request mode 1.
-  sed -i 's/arg->bitrate      = 0;/arg->bitrate      = 0;\n    arg->plcMeth      = 1;/' \
-    "$ORACLE/src/fixed_point/ccConvert.c"
+  # Guarded: fail loudly if the anchor line drifts, skip if already patched.
+  CC_SRC="$ORACLE/src/fixed_point/ccConvert.c"
+  if ! grep -q 'arg->plcMeth      = 1;' "$CC_SRC"; then
+    if ! grep -q 'arg->bitrate      = 0;' "$CC_SRC"; then
+      echo "error: ccConvert.c patch anchor 'arg->bitrate      = 0;' not found" >&2
+      exit 1
+    fi
+    sed -i 's/arg->bitrate      = 0;/arg->bitrate      = 0;\n    arg->plcMeth      = 1;/' "$CC_SRC"
+  fi
   make -C "$ORACLE/src/fixed_point" ccConvert -j"$(nproc)" OPTIM=2
 fi
 echo "oracle ready: $ORACLE/src/{floating_point,fixed_point}/LC3plus"
