@@ -107,6 +107,11 @@ class StreamEncoder:
         if epmode != self.cfg.epmode:
             self.cfg = replace(self.cfg, epmode=epmode)
 
+    def set_bandwidth(self, bandwidth: int) -> None:
+        """lc3_enc_set_bandwidth (lc3.c:187-207): per-frame switchable."""
+        if bandwidth != self.cfg.bandwidth:
+            self.cfg = replace(self.cfg, bandwidth=bandwidth)
+
     def _encode_core(self, pcm: jnp.ndarray) -> list[np.ndarray]:
         """Core (pre-FEC) encode of every lane; per-lane byte arrays."""
         cfgs = self.cfg.channel_configs()
@@ -127,12 +132,36 @@ class StreamEncoder:
         return outs
 
     def encode(self, pcm: np.ndarray) -> list[bytes]:
-        """pcm: [n_streams, frame_length] int16-range. Returns frame bytes:
-        one entry per lane, channel-coded to cfg.slotBytes when epmode > 0
-        per channel, or one entry per multichannel group when combined
-        channel coding is active (Enc_LC3 hook, enc_lc3.c:283-316)."""
+        """pcm: [n_streams, frame_length] at cfg.bps scale (16/24/32-bit
+        integer range; scaled to the codec's 16-bit working range like
+        lc3_enc24/enc32, enc_lc3_fl.c:30-42). Returns frame bytes: one entry
+        per lane, channel-coded to cfg.slotBytes when epmode > 0 per channel,
+        or one entry per multichannel group when combined channel coding is
+        active (Enc_LC3 hook, enc_lc3.c:283-316)."""
+        pcm = jnp.asarray(pcm, jnp.float32)
+        if self.cfg.bps != 16:
+            pcm = pcm * (2.0 ** (16 - self.cfg.bps))
+        return self._package(self._encode_core(pcm))
+
+    def encode_plc_trigger(self) -> list[bytes]:
+        """-ept frames: the side-info lastnz field is set to the all-ones
+        trigger value (lastnzTrigger table, fixed_point/enc_entropy.c:31,65)
+        so the decoder's side parse detects an invalid lastnz and conceals.
+        The trigger payload passes through the channel coder like any frame."""
+        cfgs = self.cfg.channel_configs()
+        outs = []
+        for lane in range(self.n):
+            c = cfgs[lane % self.cfg.channels]
+            buf = np.zeros(c.targetBytes, np.uint8)
+            pos = c.BW_cutoff_bits    # backward LSB-first from the last byte
+            for k in range(c.lastnz_bits):
+                p = pos + k
+                buf[c.targetBytes - 1 - p // 8] |= 1 << (p % 8)
+            outs.append(buf)
+        return self._package(outs, reorder=False)
+
+    def _package(self, outs: list[np.ndarray], reorder: bool = True) -> list[bytes]:
         cfg = self.cfg
-        outs = self._encode_core(jnp.asarray(pcm, jnp.float32))
         if cfg.epmode == 0:
             return [o.tobytes() for o in outs]
         from .ops import fec
@@ -154,7 +183,7 @@ class StreamEncoder:
         coded: list[bytes] = [b""] * self.n
         for ccfg, lanes in _lane_groups(cfgs, self.n):
             stack = np.stack([outs[i] for i in lanes]).astype(np.int32)
-            if ccfg.n_pc > 0:
+            if ccfg.n_pc > 0 and reorder:
                 # EP3/EP4 at slot >= 80: relocate the most error-sensitive
                 # block so the PC codewords protect it (reorder before FEC,
                 # enc_lc3.c:245-259)
@@ -182,7 +211,8 @@ class StreamDecoder:
         self.n = n_streams
         self.state = S.dec_state_init(cfg, n_streams)
         self.epmr = 0      # decoder-estimated EP mode request (0..11)
-        self.error_report = 0
+        self.error_report = np.zeros((n_streams,), np.int32)
+        self.last_bfi = np.zeros((n_streams,), np.int32)  # post-decode bfi
 
     def _decode_core(self, bufs: list[np.ndarray | None],
                      bfis: np.ndarray, be_l: np.ndarray | None = None,
@@ -200,22 +230,25 @@ class StreamDecoder:
             be_l = np.full((self.n,), -1, np.int32)
             be_r = np.full((self.n,), -1, np.int32)
         if len(set(cfgs)) == 1:
-            st, y, _ = _dec_step(cfgs[0])(self.state, jnp.asarray(full),
-                                          jnp.asarray(bfis),
-                                          jnp.asarray(be_l),
-                                          jnp.asarray(be_r))
+            st, y, aux = _dec_step(cfgs[0])(self.state, jnp.asarray(full),
+                                            jnp.asarray(bfis),
+                                            jnp.asarray(be_l),
+                                            jnp.asarray(be_r))
             self.state = st
-            return np.asarray(dec_m.round_pcm(y))
+            self.last_bfi = np.asarray(aux["bfi"])
+            return np.asarray(dec_m.round_pcm(y, self.cfg.bps))
         pcm = np.zeros((self.n, self.cfg.frame_length), np.int32)
+        self.last_bfi = np.zeros((self.n,), np.int32)
         for ccfg, lanes in _lane_groups(cfgs, self.n):
             idx = jnp.asarray(lanes)
-            sub, y, _ = _dec_step(ccfg)(
+            sub, y, aux = _dec_step(ccfg)(
                 _tree_gather(self.state, idx),
                 jnp.asarray(full[np.asarray(lanes)][:, :ccfg.targetBytes]),
                 jnp.asarray(bfis)[idx], jnp.asarray(be_l)[idx],
                 jnp.asarray(be_r)[idx])
             self.state = _tree_scatter(self.state, idx, sub)
-            pcm[np.asarray(lanes)] = np.asarray(dec_m.round_pcm(y))
+            self.last_bfi[np.asarray(lanes)] = np.asarray(aux["bfi"])
+            pcm[np.asarray(lanes)] = np.asarray(dec_m.round_pcm(y, self.cfg.bps))
         return pcm
 
     def decode(self, payload: bytes, bfi: bool | int = False) -> np.ndarray:
@@ -253,11 +286,24 @@ class StreamDecoder:
         return self._decode_core(bufs, np.full((self.n,), bfi, np.int32))
 
     def _resize(self, group_bytes: int) -> None:
-        """Re-derive the Config for a new per-group byte count."""
-        new_rate = group_bytes * 8 * 10000 // self.cfg.frame_dms
+        """Re-derive the Config for a new per-group byte count.
+
+        Accepts any in-range byte count like the reference's
+        update_dec_bitrate (setup_dec_lc3.c:203+): the bitrate is the
+        smallest one whose floor-derived payload equals group_bytes."""
+        ch = self.cfg.channels
+        per = group_bytes // ch + (0 < group_bytes % ch)
+        if not 20 <= per <= 625:  # MIN/MAX_NBYTES per channel (defines.h)
+            raise ValueError(
+                f"invalid frame size {group_bytes} bytes for {ch} channel(s)"
+                " (LC3_NUMBYTES_ERROR)")
+        new_rate = -(-group_bytes * 8 * self.cfg.fs_in
+                     // self.cfg.frame_length)
         cfg = self.cfg.with_bitrate(new_rate)
         total = cfg.bitrate * cfg.frame_length // (8 * cfg.fs_in)
-        assert total == group_bytes, (total, group_bytes)
+        if total != group_bytes:  # floor/ceil mismatch cannot happen, but be safe
+            raise ValueError(
+                f"cannot derive a bitrate for {group_bytes}-byte frames")
         self.cfg = cfg
 
     def _fec_unwrap(self, payload: bytes):

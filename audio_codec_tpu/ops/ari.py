@@ -8,8 +8,10 @@ the whole frame batch encodes in one fused XLA computation. The pending
 carry run (ac_shift_fl's carry_count loop, ari_codec.c:593-609) becomes a
 masked range-fill over the byte buffer.
 
-This is the correctness reference implementation; the Pallas entropy backend
-(lane-per-stream, ops/pallas/) supersedes it on the hot path.
+The lax.scan formulation compiles to a single fused sequential loop over
+symbols with all streams advancing in lockstep across lanes — the same
+lane-per-stream shape a hand-written Pallas kernel would use, without
+leaving XLA.
 """
 from __future__ import annotations
 

@@ -7,6 +7,10 @@ must produce byte-identical streams in both directions.
 """
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-codec CPU compile / oracle runs
+
 import subprocess
 
 import numpy as np

@@ -5,6 +5,11 @@ Each config encodes real test material, checks the ETSI reference decoder
 accepts the bitstream, and that our decoder output is conformance-close to
 the ETSI decoder's on the same bitstream.
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-codec CPU compile / oracle runs
+
 import subprocess
 
 import numpy as np

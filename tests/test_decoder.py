@@ -1,4 +1,9 @@
 """Golden tests: full decoder vs oracle on the oracle's own bitstream."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-codec CPU compile / oracle runs
+
 import numpy as np
 import jax
 import jax.numpy as jnp

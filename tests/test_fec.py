@@ -5,6 +5,11 @@ Oracle anchor: the fixed-point ETSI encoder applies fec_encoder
 fec_decode and re-encode bit-exactly through our fec_encode. Error
 correction / bfi semantics follow rs16_detect_and_correct (al_fec.c:1014).
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-codec CPU compile / oracle runs
+
 import struct
 import subprocess
 

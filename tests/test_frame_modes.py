@@ -1,4 +1,9 @@
 """5 ms and 2.5 ms frame-duration modes: interop + decoder parity."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-codec CPU compile / oracle runs
+
 import subprocess
 
 import numpy as np

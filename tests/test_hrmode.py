@@ -1,4 +1,9 @@
 """High-resolution mode (48/96 kHz HR): interop + decoder parity."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-codec CPU compile / oracle runs
+
 import subprocess
 
 import numpy as np

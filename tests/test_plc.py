@@ -1,4 +1,9 @@
 """Packet-loss concealment: our decoder vs ETSI decoder under frame erasures."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-codec CPU compile / oracle runs
+
 import subprocess
 
 import numpy as np

@@ -8,6 +8,11 @@ pitched stable content and beats NS-0 by a wide SNR margin through losses,
 (c) concealment quality is in the same class as the fixed-point oracle's
 advanced PLC on real audio with the same loss pattern.
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-codec CPU compile / oracle runs
+
 import subprocess
 
 import numpy as np

@@ -9,6 +9,11 @@
 3. Our decoder on our bitstream must track the ETSI decoder on the same
    bitstream to the 14-bit RMS criterion.
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-codec CPU compile / oracle runs
+
 import subprocess
 from pathlib import Path
 

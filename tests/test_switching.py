@@ -1,5 +1,10 @@
 """Per-frame bitrate switching without state reset (codec_exe.c:287-330
 streaming contract) and stereo channel handling."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-codec CPU compile / oracle runs
+
 import subprocess
 
 import numpy as np
