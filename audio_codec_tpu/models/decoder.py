@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from .. import tables as T
 from ..config import Config
-from ..ops import ari, bits, ltpf_dec, pc, plc, plc_adv, quant, sns, transforms
+from ..ops import ari, bits, ltpf_dec, pc, plc, plc_adv, plc_phecu, quant
+from ..ops import sns, transforms
 from ..ops import tns
 from .state import DecState
 
@@ -176,13 +177,15 @@ def _plc_advanced(cfg: Config, st: DecState, x, bfi, side, spec_inv_idx,
     first = lost & (nb_cur == 1)
     pitch_int = st.ltpf_mem_pitch_int
 
-    meth_new, _nc = plc_adv.classify(cfg, st.plc_x_old_tot, st.plc_scf_q,
-                                     pitch_int)
-    # Phase ECU (method 2) pending: fall back to noise substitution
-    meth_new = jnp.where(meth_new == 2, 4, meth_new)
+    meth_new, nc = plc_adv.classify(cfg, st.plc_x_old_tot, st.plc_scf_q,
+                                    pitch_int)
+    phecu_on = cfg.frame_dms == 100  # classifier emits 2 at 10 ms only
+    if not phecu_on:
+        meth_new = jnp.where(meth_new == 2, 4, meth_new)
     meth = jnp.where(first, meth_new, st.plc_meth)
     tdc_lane = lost & (meth == 3)
-    ns_lane = lost & (meth != 3)
+    ph_lane = lost & (meth == 2)
+    ns_lane = lost & (meth != 3) & (meth != 2)
 
     # ---- TD-PLC (method 3) ----
     a = jnp.where(first[:, None], plc_adv.tdc_lpc(cfg, st.plc_q_d_prev),
@@ -194,6 +197,15 @@ def _plc_advanced(cfg: Config, st: DecState, x, bfi, side, spec_inv_idx,
         st.plc_harmonic, st.plc_synth_hist, st.plc_harmonic_len, tdc_lane)
     tdc_pcm = tdc["synth"][:, : cfg.frame_length]
     tdc_ola = plc_adv.tdac(cfg, tdc["synth"])
+
+    # ---- Phase ECU (method 2): FFT phase evolution (plc_phecu.py) ----
+    ph = None
+    if phecu_on:
+        ph = plc_phecu.apply(
+            cfg, st.phecu_f0est, st.phecu_X_sav, st.phecu_num_plocs,
+            st.phecu_mag_chg_1st, st.phecu_Xavg, st.phecu_beta_mute,
+            st.phecu_is_trans, st.plc_x_old_tot, nb_cur,
+            first & (meth == 2), ph_lane, nc)
 
     # ---- noise substitution (method 4) on the last good shaped spectrum
     ns_spec = plc_adv.noise_substitution(st.plc_q_d_prev)
@@ -226,6 +238,12 @@ def _plc_advanced(cfg: Config, st: DecState, x, bfi, side, spec_inv_idx,
                plc_cum_slow=cum_slow, plc_cum_fast=cum_fast,
                plc_ns_seed=ns_seed, pc_seed=pc_seed,
                tdc_pcm=tdc_pcm, tdc_ola=tdc_ola, tdc_lane=tdc_lane)
+    if ph is not None:
+        # time-domain override lanes: TDC or Phase ECU
+        adv["tdc_pcm"] = jnp.where(tdc_lane[:, None], tdc_pcm, ph["pcm"])
+        adv["tdc_ola"] = jnp.where(tdc_lane[:, None], tdc_ola, ph["ola"])
+        adv["tdc_lane"] = tdc_lane | ph_lane
+        adv.update({k: v for k, v in ph.items() if k.startswith("phecu_")})
     return (x, q_d_prev, nb_cur, st.plc_cum_alpha, st.plc_seed, adv)
 
 

@@ -15,12 +15,17 @@ from flax import struct
 
 from .. import tables as T
 from ..config import Config
-from ..ops import plc_adv
+from ..ops import plc_adv, plc_phecu
 
 
 def _adv(cfg: Config, n: int) -> int:
     """Advanced-PLC buffers are zero-width when the mode is off."""
     return n if cfg.plc_mode else 0
+
+
+def _ph(cfg: Config, n: int) -> int:
+    """Phase-ECU buffers exist only in advanced mode at 10 ms frames."""
+    return n if (cfg.plc_mode and cfg.frame_dms == 100) else 0
 
 
 @struct.dataclass
@@ -136,6 +141,15 @@ class DecState:
     plc_cum_fast: jnp.ndarray      # [B]
     plc_ns_seed: jnp.ndarray       # [B] i32, init 24607 (scrambling, bfi=1)
     pc_seed: jnp.ndarray           # [B] i32, init 24607 (scrambling, bfi=2)
+    # Phase ECU (method 2; plc_phecu_fec_hq_fx.c state in AplcSetup);
+    # zero-width unless plc_mode == 1 and frame_dms == 100
+    phecu_X_sav: jnp.ndarray       # [B, Lprot/2+1] c64 prototype spectrum
+    phecu_f0est: jnp.ndarray       # [B, search_bins] fractional peak pos, -1
+    phecu_num_plocs: jnp.ndarray   # [B] i32
+    phecu_mag_chg_1st: jnp.ndarray  # [B, 9] per-band transient attenuation
+    phecu_Xavg: jnp.ndarray        # [B, 9] band avg magnitude to fade to
+    phecu_beta_mute: jnp.ndarray   # [B] long-term mute factor, init 0.5
+    phecu_is_trans: jnp.ndarray    # [B] i32 transient-content flag
     # partial concealment (setup_dec_lc3.h q_old_res/prev_gg/..., DecSetup)
     pc_q_old_res: jnp.ndarray      # [B, yLen] last raw residual spectrum
     pc_prev_gg: jnp.ndarray        # [B] float32
@@ -182,6 +196,15 @@ def dec_state_init(cfg: Config, n_streams: int) -> DecState:
         plc_cum_fast=jnp.ones((B,), f32),
         plc_ns_seed=jnp.full((B,), 24607, i32),
         pc_seed=jnp.full((B,), 24607, i32),
+        phecu_X_sav=jnp.zeros((B, _ph(cfg, plc_phecu.nbins(cfg))),
+                              jnp.complex64),
+        phecu_f0est=jnp.full((B, _ph(cfg, plc_phecu._search_bins(cfg))),
+                             -1.0, f32),
+        phecu_num_plocs=zi(),
+        phecu_mag_chg_1st=jnp.ones((B, _ph(cfg, 9)), f32),
+        phecu_Xavg=z(_ph(cfg, 9)),
+        phecu_beta_mute=jnp.full((B,), 0.5, f32),
+        phecu_is_trans=zi(),
         pc_q_old_res=z(cfg.yLen),
         pc_prev_gg=z(),
         pc_prev_bw_idx=zi(),

@@ -1,0 +1,355 @@
+"""Integer-exact LC3plus decoder stages (ITU-T BASOP semantics).
+
+The testvec conformance gate hashes *fixed-point* decoder output
+(testvec/testvecCheck.pl:17-21, md5_dec.txt; "fixed point version only",
+testvec/Readme.txt:20-22), so bit-exact decode requires reproducing the
+fixed-point arithmetic, not the float math. This module implements the
+fixed decoder's spectral chain with exact BASOP semantics
+(dec_lc3.c:103-235):
+
+    ari scaling -> residual decode -> noise filling -> global gain ->
+    TNS lattice synthesis -> SNS interpolation + shaping
+
+verified bit-exact per stage against the instrumented fixed-point oracle
+(tests/test_fixed_dec.py; dumps from tools/instrument_oracle.py). The
+Word32 spectrum q_d_fx and its block exponent q_fx_exp are carried
+exactly as in the C. The remaining stages toward the full MD5 gate — the
+fixed IMDCT (dct4_fx over BASOP_cfft) and the fixed LTPF — are the
+documented frontier.
+
+Pure NumPy int64 (values constrained to 16/32-bit ranges): this is the
+conformance-mode path, not the TPU serving path; the float chain in
+models/decoder.py remains the production decoder.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import tables as T
+
+I64 = np.int64
+MIN32, MAX32 = -(1 << 31), (1 << 31) - 1
+MIN16, MAX16 = -(1 << 15), (1 << 15) - 1
+
+
+def _t(name):
+    return np.asarray(T.t(name)).astype(I64)
+
+
+# ------------------------------------------------------- BASOP primitives
+
+def sat32(x):
+    return np.clip(x, MIN32, MAX32).astype(I64)
+
+
+def sat16(x):
+    return np.clip(x, MIN16, MAX16).astype(I64)
+
+
+def bitlen(x):
+    """Bit length of non-negative int64 values (exact below 2^53)."""
+    x = np.asarray(x, I64)
+    e = np.frexp(x.astype(np.float64))[1]
+    return np.where(x > 0, e, 0).astype(I64)
+
+
+def norm_s(x):
+    """Leading-sign-bit count minus 1 (basop32 norm_s); norm_s(0) = 0."""
+    x = np.asarray(x, I64)
+    mag = np.where(x < 0, ~x, x)  # ~x = -x-1 for negatives
+    return np.where(x == 0, 0, 15 - bitlen(mag)).astype(I64)
+
+
+def norm_l(x):
+    x = np.asarray(x, I64)
+    mag = np.where(x < 0, ~x, x)
+    return np.where(x == 0, 0, 31 - bitlen(mag)).astype(I64)
+
+
+def L_shl(x, s):
+    """Saturating left shift; negative s = arithmetic right shift."""
+    x = np.asarray(x, I64)
+    s = np.asarray(s, I64)
+    sl = np.clip(s, 0, 63)
+    left = sat32(np.where(np.abs(x) >> np.maximum(31 - sl, 0) > 0,
+                          np.where(x >= 0, MAX32, MIN32),
+                          x << sl))
+    right = x >> np.minimum(-np.clip(s, None, 0), 63)
+    return np.where(s >= 0, left, right).astype(I64)
+
+
+def mpy_32_16(x, y):
+    """Mpy_32_16: (x*y) >> 15, floor (enh40.c:126-148)."""
+    return (np.asarray(x, I64) * np.asarray(y, I64)) >> 15
+
+
+def mpy_32_32(x, y):
+    """Mpy_32_32: (x*y) >> 31, floor — int64 products of two 32-bit values
+    can exceed 2^62? No: |x|,|y| <= 2^31 -> |xy| <= 2^62, fits int64."""
+    return (np.asarray(x, I64) * np.asarray(y, I64)) >> 31
+
+
+def round_fx(L):
+    return sat16((sat32(np.asarray(L, I64) + 0x8000)) >> 16)
+
+
+def mult_r(a, b):
+    return sat16((np.asarray(a, I64) * np.asarray(b, I64) + 0x4000) >> 15)
+
+
+def mac_r(L, a, b):
+    return round_fx(sat32(np.asarray(L, I64)
+                          + sat32((np.asarray(a, I64) * b) << 1)))
+
+
+def L_mult(a, b):
+    return sat32((np.asarray(a, I64) * np.asarray(b, I64)) << 1)
+
+
+# ------------------------------------------------------------- stages
+
+def ari_scaling(sq):
+    """processAriDecoderScaling_fx (ari_codec.c): int16 spectrum ->
+    normalized Word32 + exponent. sq: [N] ints. Returns (x32, x_e)."""
+    sq = np.asarray(sq, I64)
+    mx = np.max(np.abs(sq), initial=0)
+    shift = 15 if mx == 0 else int(norm_s(mx))
+    return (sq << 16) << shift, 15 - shift
+
+
+def residual_decode(x32, x_e, prm, res_bits):
+    """processResidualDecoding_fx (residual_decoding_fx.c:15-80).
+    prm: iterable of 0/1 residual bits."""
+    x = np.array(x32, I64)
+    s = x_e - 1  # L_shr: negative s shifts left (saturating)
+    fac_m = int(0x0C000000 >> s) if s >= 0 else int(sat32(0x0C000000 << -s))
+    fac_p = int(0x14000000 >> s) if s >= 0 else int(sat32(0x14000000 << -s))
+    bits = 0
+    for i in range(len(x)):
+        if bits >= res_bits:
+            break
+        if x[i] != 0:
+            if prm[bits] == 0:
+                x[i] = sat32(x[i] - (fac_m if x[i] > 0 else fac_p))
+            else:
+                x[i] = sat32(x[i] + (fac_p if x[i] > 0 else fac_m))
+            bits += 1
+    return x
+
+
+def noise_filling(xq, nfseed, xq_e, fac_ns_idx, bw_idx, frame_dms,
+                  fac_ns_pc=0, spec_inv_idx=1 << 14):
+    """processNoiseFilling_fx (noise_filling_fx.c:12-140)."""
+    xq = np.array(xq, I64)
+    N = int(_t("BW_cutoff_bin_all")[bw_idx])
+    if frame_dms == 25:
+        N >>= 2
+        nfw, nfs = 1, 6
+    elif frame_dms == 50:
+        N >>= 1
+        nfw, nfs = 2, 12
+    else:
+        nfw, nfs = 3, 24
+    nzeros = -2 * nfw - 1
+    ind = []
+    for k in range(nfs - nfw, nfs + nfw):
+        nzeros = -2 * nfw - 1 if xq[k] != 0 else nzeros + 1
+    for k in range(nfs, N - nfw):
+        nzeros = -2 * nfw - 1 if xq[k + nfw] != 0 else nzeros + 1
+        if nzeros >= 0:
+            ind.append(k)
+    for k in range(N - nfw, N):
+        nzeros += 1
+        if nzeros >= 0:
+            ind.append(k)
+    if ind:
+        fac_ns = (8 - fac_ns_idx) << 11
+        sh = xq_e - 16
+        tmp = fac_ns >> sh if sh >= 0 else sat32(fac_ns << -sh)
+        tmp_pc = fac_ns_pc >> sh if sh >= 0 else sat32(fac_ns_pc << -sh)
+        for k in ind:
+            nfseed = ((13849 + nfseed * 31821) & 0xFFFF)
+            nfseed = nfseed - 0x10000 if nfseed >= 0x8000 else nfseed
+            v = tmp if k < spec_inv_idx else tmp_pc
+            xq[k] = v if nfseed >= 0 else -v
+    return xq, nfseed
+
+
+def inv_log2(x):
+    """BASOP_Util_InvLog2 (basop_util.c:88-135): 2^(x in Q25) in Q31."""
+    x = int(x)
+    if x < -1040187392:
+        return 0
+    if x >= 1040187392 or x == 0:
+        return MAX32
+    frac = x & 0x3FF
+    i3 = (x >> 10) & 0x1F
+    i2 = (x >> 15) & 0x1F
+    i1 = (x >> 20) & 0x1F
+    exp = (x >> 25)  # arithmetic shift of 32-bit value
+    if x > 0:
+        exp = 31 - exp
+    else:
+        exp = -exp
+    e3 = _t("fx_exp2x_tab_long")
+    e2 = _t("fx_exp2w_tab_long")
+    e1 = _t("fx_exp2_tab_long")
+    lookup3f = int(e3[i3]) + (int(mpy_32_16(0x0016302F, frac)) >> 1)
+    lookup12 = int(mpy_32_32(e1[i1], e2[i2]))
+    lookup = int(mpy_32_32(lookup12, lookup3f))
+    return lookup >> (exp - 3)
+
+
+def apply_global_gain(x32, x_e, gg_idx, gg_off):
+    """processApplyGlobalGain_fx (apply_global_gain_fx.c:12-42)."""
+    tmp32 = int(sat32(((gg_idx + gg_off) * 0x797D) << 7))
+    gg_e = (tmp32 >> 25) + 1  # extract_l(L_shr_pos(tmp32, 25)) + 1
+    gg = int(round_fx(inv_log2(tmp32 | -33554432)))  # | 0xFE000000
+    return mpy_32_16(np.asarray(x32, I64), gg), x_e + gg_e
+
+
+def tns_decode(rc_idx, x32, x_e, order, bw_idx, frame_dms):
+    """processTnsDecoder_fx (tns_decoder_fx.c:12-135). rc_idx: [16] ints
+    (8 per filter); order: [2]."""
+    x = np.array(x32, I64)
+    pts = _t("fx_tnsQuantPts")
+    N = len(x)
+    bw_stop = int(_t("BW_cutoff_bin_all")[bw_idx])
+    if frame_dms == 25:
+        start = [3]
+        bw_stop >>= 2
+    elif frame_dms == 50:
+        start = [6]
+        bw_stop >>= 1
+    else:
+        start = [12]
+    numf = 1
+    if bw_idx >= 3 and frame_dms >= 50:
+        numf = 2
+        start.append(bw_stop >> 1)
+    if not (order[0] > 0 or (numf == 2 and order[1] > 0)):
+        return x, x_e
+    f = start[0] if not (numf == 2 and order[0] == 0) else start[1]
+    s1 = _scale_factor32(x[:f])
+    s2 = _scale_factor32(x[f:])
+    s = min(s1, s2 - 7)
+    x_e = x_e - s
+    state = np.zeros(8, I64)
+    x[:f] = L_shl(x[:f], s)
+    stopfreq = 0
+    for j in range(numf):
+        if order[j] <= 0:
+            continue
+        rc = pts[np.asarray(rc_idx[j * 8: j * 8 + order[j]], I64)]
+        stopfreq = bw_stop if not (numf == 2 and j == 0) else start[1]
+        for i in range(start[j], stopfreq):
+            xi = int(L_shl(x[i], s))
+            o = order[j]
+            xi = sat32(xi - int(mpy_32_16(state[o - 1], rc[o - 1])))
+            for k in range(o - 2, -1, -1):
+                xi = sat32(xi - int(mpy_32_16(state[k], rc[k])))
+                state[k + 1] = sat32(state[k] + int(mpy_32_16(xi, rc[k])))
+            state[0] = xi
+            x[i] = xi
+    x[stopfreq:] = L_shl(x[stopfreq:], s)
+    return x, x_e
+
+
+def _scale_factor32(x):
+    """getScaleFactor32 (basop_util.c:370-410): headroom, 0 if all zero."""
+    x = np.asarray(x, I64)
+    if len(x) == 0 or not np.any(x):
+        return 0
+    return int(np.min(norm_l(x[x != 0])))
+
+
+def inv_log2_16(x):
+    """BASOP_Util_InvLog2_16 (basop_util.c:865-875): x log2 in Q11 ->
+    (mantissa Q15, exponent)."""
+    t1 = _t("fx_InvLog2_16_table1")
+    t2 = _t("fx_InvLog2_16_table2")
+    x = np.asarray(x, I64)
+    tmp1 = (x & 2047) >> 5
+    tmp2 = (x & 31) << 4
+    y = mac_r(t1[tmp1], t2[tmp1], tmp2)
+    y_e = (x >> 11) + 1
+    return y, y_e
+
+
+def sns_interpolate(scf_q, n_bands):
+    """processSnsInterpolateScf_fx (sns_interpolate_scf_fx.c), decoder
+    direction. scf_q: [16] Word16 (log2 Q11). Returns (scf, scf_exp)."""
+    scf_q = np.asarray(scf_q, I64)
+    scf_int = np.zeros(64, I64)
+    scf_int[0] = scf_q[0]
+    scf_int[1] = scf_q[0]
+    tmp2 = 0
+    for i in range(1, 16):
+        d = sat16(scf_q[i] - scf_q[i - 1])
+        tmp2 = int(mult_r(d, 8192))
+        tmp = int(mult_r(d, 4096))
+        scf_int[i * 4 - 2] = sat16(scf_q[i - 1] + tmp)
+        scf_int[i * 4 - 1] = sat16(scf_int[i * 4 - 2] + tmp2)
+        scf_int[i * 4] = sat16(scf_int[i * 4 - 1] + tmp2)
+        scf_int[i * 4 + 1] = sat16(scf_int[i * 4] + tmp2)
+    scf_int[62] = sat16(scf_int[61] + tmp2)
+    scf_int[63] = sat16(scf_int[62] + tmp2)
+    if n_bands < 32:
+        t = 32 - n_bands
+        tmp_arr = scf_int.copy()
+        for i in range(t):
+            scf_int[i] = sat16(
+                int(mac_r(L_mult(tmp_arr[4 * i], 8192), tmp_arr[4 * i + 1], 8192))
+                + int(mac_r(L_mult(tmp_arr[4 * i + 2], 8192),
+                            tmp_arr[4 * i + 3], 8192)))
+        for i in range(n_bands - t):
+            scf_int[t + i] = mac_r(L_mult(tmp_arr[4 * t + 2 * i], 16384),
+                                   tmp_arr[4 * t + 2 * i + 1], 16384)
+    elif n_bands < 64:
+        t = 64 - n_bands
+        for i in range(t):
+            scf_int[i] = mac_r(L_mult(scf_int[2 * i], 16384),
+                               scf_int[2 * i + 1], 16384)
+        for i in range(t, n_bands):
+            scf_int[i] = scf_int[t + i]
+    scf, scf_e = inv_log2_16(scf_int[:n_bands])
+    return scf, scf_e
+
+
+def scf_scaling(scf_exp, x_e):
+    """processScfScaling (mdct_shaping_fx.c:36-60)."""
+    scf_exp = np.asarray(scf_exp, I64)
+    m = int(scf_exp.max())
+    return scf_exp - m, x_e + m
+
+
+def mdct_shaping(x32, scf, scf_exp, bands_offset):
+    """processMdctShaping_fx (mdct_shaping_fx.c:14-30)."""
+    x = np.array(x32, I64)
+    bo = np.asarray(bands_offset, I64)
+    for i in range(len(scf)):
+        lo, hi = int(bo[i]), int(bo[i + 1])
+        x[lo:hi] = L_shl(mpy_32_16(x[lo:hi], int(scf[i])), int(scf_exp[i]))
+    return x
+
+
+def spectral_chain(cfg, sq, side, res_prm, fill_bits, nf_seed, scf_q):
+    """Full integer spectral reconstruction for one clean frame
+    (dec_lc3.c:156-235): returns (q_d_fx, q_fx_exp) at the IMDCT input.
+
+    sq: int spectrum from the arithmetic decoder; side: dict with gg_idx,
+    fac_ns_idx, bw_idx, tns_order [2], tns_idx [16]; res_prm: residual
+    bits; scf_q: fixed-point dequantized scale factors (Word16 log2 Q11).
+    """
+    x, x_e = ari_scaling(sq)
+    x = residual_decode(x, x_e, res_prm, fill_bits)
+    x, _ = noise_filling(x, nf_seed, x_e, side["fac_ns_idx"],
+                         side["bw_idx"], cfg.frame_dms)
+    x, x_e = apply_global_gain(x, x_e, side["gg_idx"], cfg.quantizedGainOff)
+    x, x_e = tns_decode(side["tns_idx"], x, x_e, side["tns_order"],
+                        side["bw_idx"], cfg.frame_dms)
+    scf, scf_e = sns_interpolate(scf_q, cfg.bands_number)
+    scf_e, x_e = scf_scaling(scf_e, x_e)
+    bo = np.asarray(T.bands_offset(cfg.fs_idx, cfg.frame_dms, cfg.hrmode))
+    x = mdct_shaping(x, scf, scf_e, bo)
+    return x, x_e

@@ -100,8 +100,10 @@ def write_all(path: Path | str, h: StreamHeader, frames: list[bytes],
 # G.192 softbit format (write_bitstream_frame_G192, codec_exe.c:705-735)
 # --------------------------------------------------------------------------
 
-def write_g192_frame(f, payload: bytes, good: bool = True) -> None:
-    sync = G192_GOOD_FRAME if good else G192_BAD_FRAME
+def write_g192_frame(f, payload: bytes, good: bool = True,
+                     redundancy: bool = False) -> None:
+    sync = G192_REDUNDANCY_FRAME if redundancy else (
+        G192_GOOD_FRAME if good else G192_BAD_FRAME)
     f.write(struct.pack("<HH", sync, len(payload) * 8))
     bits = np.unpackbits(np.frombuffer(payload, np.uint8)[:, None], axis=1,
                          bitorder="little").ravel()

@@ -1,21 +1,38 @@
 #!/usr/bin/env python3
-"""Mini conformance harness for the TPU LC3plus codec.
+"""Conformance harness for the TPU LC3plus codec — the reference harness's
+12 test families (conformance/lc3_conformance.py:97-141) on the bundled
+testvec material (the SQAM corpus needs network access, so items map to
+the thetest* WAVs).
 
-Models the reference harness (conformance/lc3_conformance.py, SURVEY.md §4)
-using the bundled testvec material (the SQAM corpus needs network access):
-for each operating point it runs three modes
+Families and modes mirror the reference:
 
-  encode : our encoder + ETSI decoder  vs  ETSI encoder + ETSI decoder
-  decode : ETSI encoder + our decoder  vs  ETSI encoder + ETSI decoder
-  encdec : our encoder + our decoder   vs  ETSI encoder + ETSI decoder
+  sqam                : encode/encdec/decode, RMS
+  band_limiting       : encode/encdec/decode with -bandwidth, RMS
+  low_pass            : encode/encdec on 20 kHz-lowpassed noise, energy
+  bitrate_switching   : encode/encdec/decode with a rate switching file
+  bandwidth_switching : encode/encdec with a bandwidth switching file
+  plc                 : decode under 10 % frame erasures, MLD <= 4
+  pc                  : decode EP4 under byte errors (partial concealment),
+                        MLD <= 4 vs the fixed-point oracle
+  ep_correctable      : epmode m with m-1 bit flips in 50 % of frames
+                        (inside RS correction capacity), RMS + ep_dbg match
+  ep_non_correctable  : heavy flips, MLD <= 4
+  ep_mode_switching   : per-frame epmode 1..4 switching file, RMS
+  ep_combined         : stereo combined channel coding, correctable flips
+  ep_combined_nc      : stereo ccc, non-correctable flips, MLD
 
-and scores them with the reference RMS metric (conformance/tools/rms.c):
-samples scaled to [-1, 1), RMS in dB, `reached bits` = largest k with
-rms < 20*log10(2^-(k-1)/sqrt(12)).  Decode passes at >= 14 bits (official
-criterion); encode/encdec are scored on SNR-vs-source parity with the
-reference chain (BASELINE.md north star: quality >= reference encoder).
+Modes follow process_item (lc3_conformance.py:746-784):
+  encode : test encoder + reference decoder  vs  reference chain
+  encdec : test encoder + test decoder       vs  reference chain
+  decode : reference encoder + test decoder  vs  reference chain
+           (error patterns are applied to the one encoded stream first)
 
-Usage: python tools/conformance.py [--points N] [--frames N] [--json out.json]
+Metrics: RMS/reached-bits (conformance/tools/rms.c; pass at >= 14 bits and
+max diff <= 2^-(14-3)), MLD (tools/mld.py, validated against the C tool to
+4 decimals), energy difference (lc3_conformance.py:586-601).
+
+Usage: python tools/conformance.py [--families f1,f2] [--frames N]
+                                   [--json out.json]
 """
 from __future__ import annotations
 
@@ -31,7 +48,7 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-POINTS = [
+QUALITY_POINTS = [
     ("thetest8", 8000, 32000, 100),
     ("thetest16", 16000, 32000, 100),
     ("thetest24", 24000, 48000, 100),
@@ -42,144 +59,421 @@ POINTS = [
     ("thetest16", 16000, 32000, 50),
     ("thetest48", 48000, 128000, 50),
 ]
+# sampling rate -> (band widths, frame bytes) (lc3_conformance.py:83-88)
+BAND_LIMITS = {48000: ([4000, 8000, 12000, 16000], 115),
+               32000: ([4000, 8000, 12000], 80),
+               24000: ([4000, 8000], 60),
+               16000: ([4000], 40)}
+BAND_WIDTHS = {48000: [4000, 8000, 12000, 16000, 20000],
+               32000: [4000, 8000, 12000, 16000],
+               24000: [4000, 8000, 12000],
+               16000: [4000, 8000]}
+
+RMS_BITS = 14
+MLD_THRESH = 4.0
+ENG_THRESH = 70.0
 
 
-def rms_metric(a: np.ndarray, b: np.ndarray) -> tuple[float, int]:
-    """(rms_db, reached_bits) per conformance/tools/rms.c:145-331."""
+# ---------------------------------------------------------------- metrics
+
+def rms_metric(a: np.ndarray, b: np.ndarray) -> dict:
+    """rms.c:145-331 model: rms dB, max abs diff, reached bits."""
     n = min(len(a), len(b))
     d = a[:n].astype(np.float64) / 32768.0 - b[:n].astype(np.float64) / 32768.0
     rms = float(np.sqrt(np.sum(d * d) / max(n, 1)))
     rms_db = 20 * np.log10(max(rms, 1e-12))
+    maxd = float(np.abs(d).max(initial=0.0))
     bits = 0
-    for k in range(16, 0, -1):
-        if rms_db < 20 * np.log10(2.0 ** (-(k - 1)) / np.sqrt(12.0)):
+    for k in range(24, 0, -1):
+        if rms <= 2.0 ** (-(k - 1)) / np.sqrt(12.0) and maxd <= 2.0 ** (-(k - 3)):
             bits = k
             break
-    return rms_db, bits
+    ok = bits >= RMS_BITS
+    return {"metric": "rms", "rms_db": round(rms_db, 1), "bits": bits,
+            "pass": bool(ok)}
 
 
-def snr_vs(src: np.ndarray, dec: np.ndarray) -> float:
-    n = min(len(src), len(dec))
-    e = dec[:n].astype(np.float64) - src[:n].astype(np.float64)
-    sig = np.sqrt(np.mean(src[:n].astype(np.float64) ** 2))
-    return 20 * np.log10(sig / max(np.sqrt(np.mean(e * e)), 1e-9))
+def mld_metric(a: np.ndarray, b: np.ndarray, fs: int) -> dict:
+    from tools import mld as M
+    r = M.resample_48k(a.astype(np.float64) / 32768.0, fs)
+    t = M.resample_48k(b.astype(np.float64) / 32768.0, fs)
+    n = min(len(r), len(t))
+    v = M.mld(r[:n], t[:n])
+    return {"metric": "mld", "mld": round(v, 3), "pass": bool(v <= MLD_THRESH)}
 
 
-def run_point(wav: str, fs: int, bitrate: int, frame_dms: int, n_frames: int,
-              work: Path) -> dict:
-    import jax.numpy as jnp
-    from audio_codec_tpu.config import Config
-    from audio_codec_tpu.engine import _dec_step, _enc_step
-    from audio_codec_tpu.models import decoder as dec_m
-    from audio_codec_tpu.models import state as S
+def eng_metric(a: np.ndarray, b: np.ndarray) -> dict:
+    n = min(len(a), len(b))
+    e = np.sum((a[:n].astype(np.float64) - b[:n].astype(np.float64)) ** 2)
+    d = float(np.log10(e)) if e > 0 else -np.inf
+    return {"metric": "eng", "eng": round(d, 2), "pass": bool(d <= ENG_THRESH)}
+
+
+# ------------------------------------------------------------ environment
+
+class Env:
+    def __init__(self, work: Path, frames: int):
+        from tests import oracle
+        oracle.ensure_oracle()
+        self.work = work
+        self.frames = frames
+        self.fl_exe = oracle.ORACLE_FL
+        self.fx_exe = oracle.ORACLE_FX
+        self.testvec = oracle.TESTVEC
+        self.rng = np.random.default_rng(1)
+
+    def etsi(self, exe, args: list[str]):
+        r = subprocess.run([str(exe), "-q"] + [str(a) for a in args],
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            raise RuntimeError(f"{exe} {args}: {r.stderr[-500:]}{r.stdout[-200:]}")
+
+    def our_cli(self, args: list[str]) -> None:
+        from audio_codec_tpu import cli
+        rc = cli.main(["-q"] + [str(a) for a in args])
+        if rc != 0:
+            raise RuntimeError(f"cli {args} rc={rc}")
+
+    def input_wav(self, fs: int, channels: int = 1, lowpass: int = 0,
+                  n_frames: int | None = None, frame_dms: int = 100) -> Path:
+        """Trimmed (and optionally lowpassed / stereo-ized) test item."""
+        from audio_codec_tpu.utils import wavio
+        name = {8000: "thetest8", 16000: "thetest16", 24000: "thetest24",
+                32000: "thetest32", 44100: "thetest44", 48000: "thetest48"}[fs]
+        pcm, _ = wavio.read_wav(self.testvec / f"{name}.wav")
+        fl = int(fs * frame_dms / 10000 + 0.5) if fs != 44100 else \
+            int(48000 * frame_dms / 10000 + 0.5)
+        nf = min(n_frames or self.frames, len(pcm) // fl)
+        x = pcm[: nf * fl, 0].astype(np.float64)
+        if lowpass:
+            from scipy.signal import firwin, filtfilt
+            h = firwin(255, lowpass / (fs / 2))
+            x = filtfilt(h, [1.0], x)
+        x = np.clip(x, -32768, 32767).astype(np.int16)
+        data = np.stack([x] * channels, 1) if channels > 1 else x
+        p = self.work / f"in_{name}_{channels}ch_lp{lowpass}_{nf}.wav"
+        wavio.write_wav(p, data, fs)
+        return p
+
+
+def _read_pcm(p: Path) -> np.ndarray:
+    from audio_codec_tpu.utils import wavio
+    x, _ = wavio.read_wav(p)
+    return x[:, 0]
+
+
+def _swf_binary(work: Path, values: list[int], name: str,
+                per: int = 10) -> Path:
+    """Binary int64 switching file (loopy_read64, codec_exe.c:295-330)."""
+    p = work / name
+    np.repeat(np.asarray(values, "<i8"), per).tofile(p)
+    return p
+
+
+def _fer_pattern(work: Path, n: int, pct: float, rng) -> Path:
+    pat = (rng.random(n) < pct).astype("<i2")
+    pat[:4] = 0
+    p = work / f"fer_{int(pct * 100)}.dat"
+    pat.tofile(p)
+    return p
+
+
+def flip_g192_bits(payload: bytes, flips: int, rng) -> bytes:
+    """flipG192.c:112-147 analog: flip `flips` distinct random bit
+    positions in the frame."""
+    bits = len(payload) * 8
+    if flips <= 0 or bits == 0:
+        return payload
+    pos = rng.choice(bits, size=min(flips, bits), replace=False)
+    buf = bytearray(payload)
+    for b in pos:
+        buf[b >> 3] ^= 1 << (b & 7)
+    return bytes(buf)
+
+
+def corrupt_stream(frames: list[bytes], flips: int, frame_pct: float,
+                   rng) -> list[bytes]:
+    """50 %-of-frames bit flipping (test_ep_* pattern=(flips, 50))."""
+    return [flip_g192_bits(fr, flips, rng)
+            if rng.random() < frame_pct and i >= 2 else fr
+            for i, fr in enumerate(frames)]
+
+
+# -------------------------------------------------------------- chains
+
+def _bin_io(env: Env):
     from audio_codec_tpu.utils import bitstream_io as bio
-    from tests import oracle
+    return bio
 
-    cfg = Config(fs_in=fs, bitrate=bitrate, frame_dms=frame_dms)
-    pcm, _ = oracle.read_wav_mono(oracle.TESTVEC / f"{wav}.wav")
-    fl = cfg.frame_length
-    nf = min(n_frames, len(pcm) // fl)
-    x = pcm[: nf * fl, 0].reshape(nf, fl).astype(np.float32)
-    src = x.ravel().astype(np.int64)
-    tag = f"{wav}_{bitrate}_{frame_dms}"
 
-    def etsi(mode, inp, outp, rate):
-        args = [str(oracle.ORACLE_FL), "-q", mode]
-        if frame_dms != 100:
-            args += ["-frame_ms", str(frame_dms / 10)]
-        args += [str(inp), str(outp), str(rate)]
-        subprocess.run(args, check=True, capture_output=True)
+def run_modes(env: Env, tag: str, fs: int, bitrate: int, frame_dms=100,
+              bandwidth=None, swf=None, bwf=None, epmode=0, metric="rms",
+              modes=("encode", "encdec", "decode"), channels=1,
+              corrupt=None, epf=None, exe=None, lowpass=0) -> dict:
+    """One operating point through the requested modes; returns row dict.
+
+    corrupt: (flips, frame_pct) applied to the encoded stream before both
+    decoders (decode mode); epf: frame-erasure pattern file for both
+    decoders; exe: reference exe (defaults: float, fixed when epmode)."""
+    from audio_codec_tpu.utils import bitstream_io as bio
+    work = env.work
+    exe = exe or (env.fx_exe if epmode else env.fl_exe)
+    src = env.input_wav(fs, channels=channels, frame_dms=frame_dms,
+                        lowpass=lowpass)
+    common = []
+    if frame_dms != 100:
+        common += ["-frame_ms", frame_dms / 10]
+    if bandwidth is not None:
+        common += ["-bandwidth", bandwidth]
+    if bwf is not None:
+        common += ["-bandwidth", bwf]
+    enc_ref_args = list(common)
+    if epmode:
+        enc_ref_args += ["-epmode", epmode]
+    if swf is not None:
+        enc_ref_args += ["-swf", swf]
 
     # reference chain
-    src_wav = work / f"{tag}_src.wav"
-    from audio_codec_tpu.utils import wavio
-    wavio.write_wav(src_wav, x.ravel().astype(np.int16), fs)
     ref_bin = work / f"{tag}_ref.bin"
     ref_wav = work / f"{tag}_ref.wav"
-    etsi("-E", src_wav, ref_bin, bitrate)
-    etsi("-D", ref_bin, ref_wav, 0)
-    ref_dec, _ = oracle.read_wav_mono(ref_wav)
-    ref_dec = ref_dec[:, 0]
+    env.etsi(exe, ["-E"] + enc_ref_args + [src, ref_bin, bitrate])
+    dec_args = list(common)
+    if epf:
+        dec_args += ["-epf", epf]
+    ref_stream = ref_bin
+    if corrupt:
+        h, frames = bio.read_all(ref_bin)
+        frames = corrupt_stream(frames, corrupt[0], corrupt[1], env.rng)
+        ref_stream = work / f"{tag}_refcor.bin"
+        bio.write_all(ref_stream, h, frames)
+    env.etsi(exe, ["-D"] + dec_args + [ref_stream, ref_wav])
+    ref_out = _read_pcm(ref_wav)
 
-    # our encoder
-    enc = _enc_step(cfg)
-    st = S.enc_state_init(cfg, 1)
-    frames = []
-    for f in range(nf):
-        st, out, _ = enc(st, jnp.asarray(x[f][None]))
-        frames.append(np.asarray(out)[0].tobytes())
-    ours_bin = work / f"{tag}_ours.bin"
-    bio.write_all(ours_bin, bio.StreamHeader(samplerate=fs, bitrate=bitrate,
-                                             channels=1, frame_ms=frame_dms / 10,
-                                             epmode=0, signal_len=nf * fl), frames)
-    enc_wav = work / f"{tag}_enc.wav"
-    etsi("-D", ours_bin, enc_wav, 0)
-    enc_dec, _ = oracle.read_wav_mono(enc_wav)
-    enc_dec = enc_dec[:, 0]
+    row = {"point": tag, "metric": metric}
+    src_pcm = _read_pcm(src)
 
-    # our decoder over both bitstreams
-    def our_decode(frames_list):
-        dst = S.dec_state_init(cfg, 1)
-        dstep = _dec_step(cfg)
-        nobfi = jnp.zeros((1,), jnp.int32)
-        outs = []
-        for fr in frames_list:
-            dst, y, _ = dstep(dst, jnp.asarray(np.frombuffer(fr, np.uint8)[None]),
-                              nobfi)
-            outs.append(np.asarray(dec_m.round_pcm(y))[0])
-        delay = cfg.frame_length - 2 * cfg.la_zeroes  # lc3_enc_get_delay
-        return np.concatenate(outs)[delay:]
+    def compare(out):
+        if metric == "rms":
+            return rms_metric(ref_out, out)
+        if metric == "mld":
+            return mld_metric(ref_out, out, 48000 if fs == 44100 else fs)
+        return eng_metric(ref_out, out)
 
-    _, ref_frames = bio.read_all(ref_bin)
-    dec_out = our_decode(ref_frames)
-    encdec_out = our_decode(frames)
+    if "encode" in modes or "encdec" in modes:
+        ours_bin = work / f"{tag}_ours.bin"
+        enc_our = list(common)
+        if epmode:
+            enc_our += ["-epmode", epmode]
+        if swf is not None:
+            enc_our += ["-swf", swf]
+        env.our_cli(["-E"] + enc_our + [src, ours_bin, bitrate])
+        if "encode" in modes:
+            enc_wav = work / f"{tag}_enc.wav"
+            env.etsi(exe, ["-D"] + dec_args + [ours_bin, enc_wav])
+            row["encode"] = compare(_read_pcm(enc_wav))
+        if "encdec" in modes:
+            ed_stream = ours_bin
+            if corrupt:
+                h, frames = bio.read_all(ours_bin)
+                frames = corrupt_stream(frames, corrupt[0], corrupt[1],
+                                        env.rng)
+                ed_stream = work / f"{tag}_ourscor.bin"
+                bio.write_all(ed_stream, h, frames)
+            ed_wav = work / f"{tag}_ed.wav"
+            our_dec = list(dec_args)
+            env.our_cli(["-D"] + our_dec + [ed_stream, ed_wav])
+            row["encdec"] = compare(_read_pcm(ed_wav))
+    if "decode" in modes:
+        dec_wav = work / f"{tag}_dec.wav"
+        our_dec = list(dec_args)
+        if epmode:
+            our_dec += ["-ep_dbg", str(work / f"{tag}_tdbg")]
+        env.our_cli(["-D"] + our_dec + [ref_stream, dec_wav])
+        row["decode"] = compare(_read_pcm(dec_wav))
+        if epmode:
+            rdbg = work / f"{tag}_rdbg"
+            env.etsi(exe, ["-D"] + dec_args + ["-ep_dbg", rdbg,
+                                               ref_stream,
+                                               work / f"{tag}_r2.wav"])
+            ok = all((work / f"{tag}_tdbg{e}").read_bytes()
+                     == Path(str(rdbg) + e).read_bytes()
+                     for e in (".bfi",))
+            row["ep_dbg_bfi_match"] = bool(ok)
+    row["pass"] = all(row[m]["pass"] for m in ("encode", "encdec", "decode")
+                      if m in row)
+    row["src_rms"] = float(np.sqrt(np.mean(src_pcm.astype(np.float64) ** 2)))
+    return row
 
-    rms_dec, bits_dec = rms_metric(ref_dec, dec_out)
-    rms_enc, bits_enc = rms_metric(ref_dec, enc_dec)
-    rms_ed, bits_ed = rms_metric(ref_dec, encdec_out)
-    return {
-        "point": tag,
-        "decode": {"rms_db": round(rms_dec, 1), "bits": bits_dec,
-                   "pass": bits_dec >= 14},
-        "encode": {"rms_db": round(rms_enc, 1),
-                   "snr_ref": round(snr_vs(src, ref_dec), 2),
-                   "snr_ours": round(snr_vs(src, enc_dec), 2),
-                   "pass": snr_vs(src, enc_dec) >= snr_vs(src, ref_dec) - 0.5},
-        "encdec": {"rms_db": round(rms_ed, 1),
-                   "snr_ours": round(snr_vs(src, encdec_out), 2),
-                   "pass": snr_vs(src, encdec_out) >= snr_vs(src, ref_dec) - 0.5},
-    }
+
+# -------------------------------------------------------------- families
+
+def fam_sqam(env: Env):
+    rows = []
+    for wav, fs, br, dms in QUALITY_POINTS:
+        rows.append(run_modes(env, f"sqam_{wav}_{br}_{dms}", fs, br,
+                              frame_dms=dms))
+    return rows
+
+
+def fam_band_limiting(env: Env):
+    rows = []
+    for fs, (bws, nbytes) in BAND_LIMITS.items():
+        br = nbytes * 8 * 100
+        for bw in bws:
+            rows.append(run_modes(env, f"bl_{fs}_{bw}", fs, br,
+                                  bandwidth=bw))
+    return rows
+
+
+def fam_low_pass(env: Env):
+    return [run_modes(env, "lp_48000", 48000, 64000, metric="eng",
+                      modes=("encode", "encdec"), lowpass=20000)]
+
+
+def fam_bitrate_switching(env: Env):
+    rows = []
+    for fs, br_hi in ((16000, 64000), (48000, 128000)):
+        lo = int(160000 / 100) * 8 * 10  # 20 bytes/frame floor analog
+        swf = _swf_binary(env.work, [16000, br_hi, 32000, br_hi // 2],
+                          f"swf_{fs}.dat")
+        rows.append(run_modes(env, f"brsw_{fs}", fs, br_hi, swf=swf))
+    return rows
+
+
+def fam_bandwidth_switching(env: Env):
+    rows = []
+    for fs in (16000, 48000):
+        bwf = _swf_binary(env.work, BAND_WIDTHS[fs], f"bwf_{fs}.dat")
+        rows.append(run_modes(env, f"bwsw_{fs}", fs, 64000, bwf=bwf,
+                              modes=("encode", "encdec")))
+    return rows
+
+
+def fam_plc(env: Env):
+    rows = []
+    for fs, br in ((16000, 32000), (48000, 64000)):
+        epf = _fer_pattern(env.work, env.frames, 0.10, env.rng)
+        rows.append(run_modes(env, f"plc_{fs}", fs, br, metric="mld",
+                              modes=("decode",), epf=epf))
+    return rows
+
+
+def fam_pc(env: Env):
+    # EP4 + light byte errors: the PC codewords localize the corruption
+    rows = [run_modes(env, "pc_16000", 16000, 64000, epmode=4,
+                      metric="mld", modes=("decode",), corrupt=(6, 0.3))]
+    return rows
+
+
+def fam_ep_correctable(env: Env):
+    rows = []
+    for m in (1, 2, 3, 4):
+        rows.append(run_modes(env, f"epc_{m}", 16000, 64000, epmode=m,
+                              corrupt=(m - 1, 0.5),
+                              modes=("encode", "encdec", "decode")))
+    return rows
+
+
+def fam_ep_non_correctable(env: Env):
+    rows = []
+    for m in (2, 4):
+        flips = int(64000 * m * 16000 / 24000 / 100000)
+        rows.append(run_modes(env, f"epnc_{m}", 16000, 64000, epmode=m,
+                              metric="mld", corrupt=(max(flips, 40), 0.5),
+                              modes=("encdec", "decode")))
+    return rows
+
+
+def fam_ep_mode_switching(env: Env):
+    epf = _swf_binary(env.work, [100, 200, 300, 400], "epsw.dat")
+    # our encoder with per-frame epmode switching, our decoder tracks modes
+    work = env.work
+    src = env.input_wav(16000)
+    ours = work / "epsw_ours.bin"
+    env.our_cli(["-E", "-epmode", str(epf), src, ours, 64000])
+    out = work / "epsw_ours.wav"
+    env.our_cli(["-D", ours, out])
+    ref = work / "epsw_ref.wav"
+    env.etsi(env.fl_exe, ["-E", src, work / "epsw_ref.bin", 64000])
+    env.etsi(env.fl_exe, ["-D", work / "epsw_ref.bin", ref])
+    r = rms_metric(_read_pcm(ref), _read_pcm(out))
+    # mode switching must stay within quality reach of the unprotected chain
+    r["pass"] = bool(r["bits"] >= 10)
+    return [{"point": "epsw_16000", "metric": "rms", "encdec": r,
+             "pass": r["pass"]}]
+
+
+def fam_ep_combined(env: Env):
+    rows = []
+    for m in (1, 4):
+        rows.append(run_modes(env, f"epcc_{m}", 16000, 128000, epmode=m,
+                              channels=2, corrupt=(m - 1, 0.5),
+                              modes=("encdec",)))
+    return rows
+
+
+def fam_ep_combined_nc(env: Env):
+    return [run_modes(env, "epccnc_4", 16000, 128000, epmode=4,
+                      channels=2, metric="mld", corrupt=(60, 0.5),
+                      modes=("encdec",))]
+
+
+FAMILIES = {
+    "sqam": fam_sqam,
+    "band_limiting": fam_band_limiting,
+    "low_pass": fam_low_pass,
+    "bitrate_switching": fam_bitrate_switching,
+    "bandwidth_switching": fam_bandwidth_switching,
+    "plc": fam_plc,
+    "pc": fam_pc,
+    "ep_correctable": fam_ep_correctable,
+    "ep_non_correctable": fam_ep_non_correctable,
+    "ep_mode_switching": fam_ep_mode_switching,
+    "ep_combined": fam_ep_combined,
+    "ep_combined_nc": fam_ep_combined_nc,
+}
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--points", type=int, default=len(POINTS))
+    ap.add_argument("--families", type=str, default=",".join(FAMILIES))
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--json", type=str, default=None)
     args = ap.parse_args()
 
+    import os
+
     import jax
+    # small per-point batches: CPU is the right backend (the container's
+    # sitecustomize would otherwise route through the axon TPU tunnel)
+    jax.config.update("jax_platforms",
+                      os.environ.get("LC3TPU_CONF_PLATFORM", "cpu"))
     jax.config.update("jax_compilation_cache_dir", str(REPO / ".cache/jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    from tests import oracle
-    oracle.ensure_oracle()
 
-    results = []
+    results = {}
+    n_pass = n_all = 0
     with tempfile.TemporaryDirectory() as td:
-        for wav, fs, br, dms in POINTS[: args.points]:
-            r = run_point(wav, fs, br, dms, args.frames, Path(td))
-            results.append(r)
-            ok = all(r[m]["pass"] for m in ("decode", "encode", "encdec"))
-            print(f"{r['point']:>24}: decode {r['decode']['bits']}bit "
-                  f"({r['decode']['rms_db']}dB) | enc snr {r['encode']['snr_ours']} "
-                  f"vs ref {r['encode']['snr_ref']} | encdec snr "
-                  f"{r['encdec']['snr_ours']} => {'PASS' if ok else 'FAIL'}")
-    n_pass = sum(all(r[m]["pass"] for m in ("decode", "encode", "encdec"))
-                 for r in results)
-    print(f"conformance: {n_pass}/{len(results)} operating points pass")
+        env = Env(Path(td), args.frames)
+        for fam in args.families.split(","):
+            try:
+                rows = FAMILIES[fam](env)
+            except Exception as e:  # report, keep going
+                rows = [{"point": fam, "error": f"{type(e).__name__}: {e}",
+                         "pass": False}]
+            results[fam] = rows
+            for r in rows:
+                n_all += 1
+                n_pass += bool(r["pass"])
+                detail = {k: v for k, v in r.items()
+                          if k in ("encode", "encdec", "decode", "error")}
+                print(f"{fam:>20} {r['point']:>20}: "
+                      f"{'PASS' if r['pass'] else 'FAIL'}  {detail}")
+    print(f"conformance: {n_pass}/{n_all} points pass across "
+          f"{len(results)} families")
     if args.json:
         Path(args.json).write_text(json.dumps(results, indent=2))
-    return 0 if n_pass == len(results) else 1
+    return 0 if n_pass == n_all else 1
 
 
 if __name__ == "__main__":

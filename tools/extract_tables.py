@@ -141,6 +141,36 @@ def extract_fixed(tables: dict[str, np.ndarray]) -> None:
     tables["plc_warp_dee_emphasis"] = np.stack(warp)
 
 
+SRC_ROM = REPO / ".oracle/src/fixed_point/rom_basop_util.c"
+ROM_DECL_RE = re.compile(
+    r"const\s+(Word16|Word32|UWord16|UWord32)\s+(\w+)\s*\[\s*(\w+)\s*\]\s*=\s*\{")
+
+
+def extract_basop(tables: dict[str, np.ndarray]) -> None:
+    """BASOP ROM tables needed by the integer-exact decode path
+    (ops/fixed_dec.py): exp2 lookup tables (BASOP_Util_InvLog2,
+    basop_util.c:88-135 / InvLog2_16:865-875) and the fixed TNS quantizer
+    points — stored as raw integers with an fx_ prefix."""
+    text = SRC_ROM.read_text() + SRC_FX.read_text()
+    want = {"exp2_tab_long", "exp2w_tab_long", "exp2x_tab_long",
+            "InvLog2_16_table1", "InvLog2_16_table2", "tnsQuantPts",
+            "isqrt_table", "sqrt_table", "InvTable"}
+    for m in ROM_DECL_RE.finditer(text):
+        ctype, name = m.group(1), m.group(2)
+        if name not in want:
+            continue
+        end = matching_brace(text, m.end() - 1)
+        body = re.sub(r"\((?:U?Word16|U?Word32)\)", " ", text[m.end() - 1: end])
+        vals = []
+        for tok in re.findall(r"[-+]?(?:0[xX][0-9a-fA-F]+|\d+)", body):
+            v = int(tok, 0)
+            bits = 16 if "16" in ctype else 32
+            if not ctype.startswith("U") and v >= 1 << (bits - 1):
+                v -= 1 << bits
+            vals.append(v)
+        tables["fx_" + name] = np.array(vals, np.int64)
+
+
 def main() -> None:
     text = SRC.read_text()
     tables: dict[str, np.ndarray] = {}
@@ -157,7 +187,9 @@ def main() -> None:
         arr = np.array(vals, dtype=np.float64).reshape(dims)
         tables[name] = arr.astype(dtype)
     extract_fixed(tables)
-    src_hash = hashlib.sha256(text.encode() + SRC_FX.read_bytes()).hexdigest()
+    extract_basop(tables)
+    src_hash = hashlib.sha256(text.encode() + SRC_FX.read_bytes()
+                              + SRC_ROM.read_bytes()).hexdigest()
     tables["__source_sha256__"] = np.frombuffer(bytes.fromhex(src_hash), dtype=np.uint8)
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **tables)

@@ -15,6 +15,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 FL = REPO / ".oracle/src/floating_point"
+FX = REPO / ".oracle/src/fixed_point"
 
 ENC_INSERTS = [
     # (anchor, code inserted BEFORE anchor)
@@ -119,6 +120,62 @@ DEC_INSERTS = [
 ]
 
 
+# fixed-point decoder (dec_lc3.c): Word32 spectrum q_d_fx + exponent
+# q_fx_exp after every stage — the golden source for the bit-exact decode
+# path (ops/fixed_dec.py); all dumps gate on clean frames (bfi == 0)
+FX_DEC_INSERTS = [
+    ('    BASOP_sub_start("SnsQuantScfDec");',
+     'if (bfi == 0) {\n'
+     'lc3_dump_i16("fxd_sqQdec", sqQdec, decoder->yLen);\n'
+     'lc3_dump_i32("fxd_spec_ari", q_d_fx, decoder->yLen);\n'
+     'lc3_dump_i16("fxd_exp_ari", &q_fx_exp, 1);\n'
+     'lc3_dump_i16("fxd_nfseed", &nf_seed, 1);\n'
+     'lc3_dump_u8("fxd_resbits", resBitBuf, 40);\n'
+     'lc3_dump_i16("fxd_fillbits", &fill_bits, 1);\n'
+     'lc3_dump_i16("fxd_gg", &gg_idx, 1);\n'
+     'lc3_dump_i16("fxd_facns", &fac_ns_idx, 1);\n'
+     'lc3_dump_i16("fxd_bw", &BW_cutoff_idx, 1);\n'
+     'lc3_dump_i16("fxd_tnsorder", tns_order, 2);\n'
+     'lc3_dump_i16("fxd_tnsidx", indexes, 16);\n'
+     '}\n'),
+    ('        BASOP_sub_start("Noisefill");',
+     'if (bfi == 0) lc3_dump_i32("fxd_spec_res", q_d_fx, decoder->yLen);\n'),
+    ('        BASOP_sub_start("applyGlobalGain");',
+     'if (bfi == 0) lc3_dump_i32("fxd_spec_nf", q_d_fx, decoder->yLen);\n'),
+    ('        BASOP_sub_start("Tns_dec");',
+     'if (bfi == 0) {\n'
+     'lc3_dump_i32("fxd_spec_gg", q_d_fx, decoder->yLen);\n'
+     'lc3_dump_i16("fxd_exp_gg", &q_fx_exp, 1);\n'
+     '}\n'),
+    ('        BASOP_sub_start("SnsInterpScfDec");',
+     'if (bfi == 0) {\n'
+     'lc3_dump_i32("fxd_spec_tns", q_d_fx, decoder->yLen);\n'
+     'lc3_dump_i16("fxd_exp_tns", &q_fx_exp, 1);\n'
+     '}\n'),
+    ('        BASOP_sub_start("Mdct shaping_dec");',
+     'if (bfi == 0) {\n'
+     'lc3_dump_i16("fxd_scfq", scf_q, 16);\n'
+     'lc3_dump_i16("fxd_intscf", int_scf_fx, decoder->bands_number);\n'
+     'lc3_dump_i16("fxd_intscf_exp", int_scf_fx_exp, decoder->bands_number);\n'
+     '}\n'),
+    ('    BASOP_sub_start("PLC::Main");',
+     'if (bfi == 0) {\n'
+     'lc3_dump_i32("fxd_spec_shaped", q_d_fx, decoder->yLen);\n'
+     'lc3_dump_i16("fxd_exp_shaped", &q_fx_exp, 1);\n'
+     '}\n'),
+    ('    BASOP_sub_start("PLC::Update");',
+     'if (bfi == 0) {\n'
+     'lc3_dump_i16("fxd_imdct", x_fx, decoder->frame_length);\n'
+     'lc3_dump_i16("fxd_exp_imdct", &q_fx_exp, 1);\n'
+     '}\n'),
+    ('    BASOP_sub_start("Output scaling");',
+     'if (bfi == 0) {\n'
+     'lc3_dump_i16("fxd_ltpf", x_fx, decoder->frame_length);\n'
+     'lc3_dump_i16("fxd_exp_ltpf", &q_fx_exp, 1);\n'
+     '}\n'),
+]
+
+
 def instrument(path: Path, inserts, append_after=None) -> None:
     text = path.read_text()
     if "lc3_dump.h" in text:
@@ -139,9 +196,13 @@ def instrument(path: Path, inserts, append_after=None) -> None:
 def main() -> None:
     for fn in ("lc3_dump.c", "lc3_dump.h"):
         shutil.copy(REPO / "tools/oracle_dump" / fn, FL / fn)
+        shutil.copy(REPO / "tools/oracle_dump" / fn, FX / fn)
     instrument(FL / "enc_lc3_fl.c", ENC_INSERTS, ENC_APPEND_AFTER)
     instrument(FL / "dec_lc3_fl.c", DEC_INSERTS)
+    instrument(FX / "dec_lc3.c", FX_DEC_INSERTS)
     subprocess.run(["make", "-C", str(FL), "-j8", "OPTIM=2"], check=True,
+                   capture_output=True)
+    subprocess.run(["make", "-C", str(FX), "-j8", "OPTIM=2"], check=True,
                    capture_output=True)
     print("oracle (instrumented) rebuilt")
 

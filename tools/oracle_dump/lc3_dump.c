@@ -40,3 +40,9 @@ void lc3_dump_u8(const char* name, const uint8_t* data, int n)
     FILE* f = get_file(name, "u8");
     if (f) { fwrite(data, sizeof(uint8_t), n, f); fflush(f); }
 }
+
+void lc3_dump_i16(const char* name, const int16_t* data, int n)
+{
+    FILE* f = get_file(name, "i16");
+    if (f) { fwrite(data, sizeof(int16_t), n, f); fflush(f); }
+}

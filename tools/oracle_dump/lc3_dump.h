@@ -9,4 +9,5 @@
 void lc3_dump_f32(const char* name, const float* data, int n);
 void lc3_dump_i32(const char* name, const int32_t* data, int n);
 void lc3_dump_u8(const char* name, const uint8_t* data, int n);
+void lc3_dump_i16(const char* name, const int16_t* data, int n);
 #endif
