@@ -197,7 +197,8 @@ def inv_log2(x):
     lookup3f = int(e3[i3]) + (int(mpy_32_16(0x0016302F, frac)) >> 1)
     lookup12 = int(mpy_32_32(e1[i1], e2[i2]))
     lookup = int(mpy_32_32(lookup12, lookup3f))
-    return lookup >> (exp - 3)
+    s = exp - 3
+    return lookup >> s if s >= 0 else int(sat32(lookup << -s))
 
 
 def apply_global_gain(x32, x_e, gg_idx, gg_off):

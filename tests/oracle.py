@@ -20,7 +20,7 @@ ORACLE_FX = REPO / ".oracle/src/fixed_point/LC3plus"
 TESTVEC = REPO / ".oracle/testvec/input"
 CACHE = REPO / "tests/.cache"
 
-_DTYPES = {"f32": np.float32, "i32": np.int32, "u8": np.uint8}
+_DTYPES = {"f32": np.float32, "i32": np.int32, "u8": np.uint8, "i16": np.int16}
 
 
 def ensure_oracle() -> None:
@@ -75,6 +75,43 @@ def dec_dumps(bitstream: Path, tag: str) -> tuple[dict, Path]:
             shutil.rmtree(d)
         d.mkdir(parents=True)
         _run([str(ORACLE_FL), "-q", "-D", str(bitstream), str(wav), "0"], dump_dir=d)
+    return _load_dir(d), wav
+
+
+def fx_encode(wav: str, bitrate: int, ep_mode: int = 0) -> Path:
+    """Encode testvec `wav` with the fixed-point oracle (the testvec MD5
+    gate's encoder half, testvec/testvecCheck.pl); returns bitstream path."""
+    ensure_oracle()
+    d = CACHE / f"fxenc_{wav}_{bitrate}_ep{ep_mode}"
+    bs = d / "out.bin"
+    if not bs.exists():
+        d.mkdir(parents=True, exist_ok=True)
+        args = [str(ORACLE_FX), "-q"]
+        if ep_mode:
+            args += ["-epmode", str(ep_mode)]
+        args += ["-E", str(TESTVEC / f"{wav}.wav"), str(bs), str(bitrate)]
+        _run(args)
+    return bs
+
+
+def fx_dec_dumps(bitstream: Path, tag: str, epf: Path | None = None
+                 ) -> tuple[dict, Path]:
+    """Decode a bitstream with the instrumented fixed-point oracle; return
+    (per-stage integer dumps, wav path). `epf` applies a frame-erasure
+    pattern (PLC frames are not dumped: hooks gate on bfi == 0)."""
+    ensure_oracle()
+    h = hashlib.sha256(bitstream.read_bytes()).hexdigest()[:16]
+    d = CACHE / f"fxdec_{tag}_{h}{'_epf' if epf else ''}"
+    wav = d / "out.wav"
+    if not wav.exists():
+        if d.exists():
+            shutil.rmtree(d)
+        d.mkdir(parents=True)
+        args = [str(ORACLE_FX), "-q"]
+        if epf is not None:
+            args += ["-epf", str(epf)]
+        args += ["-D", str(bitstream), str(wav), "0"]
+        _run(args, dump_dir=d)
     return _load_dir(d), wav
 
 

@@ -126,11 +126,14 @@ DEC_INSERTS = [
 FX_DEC_INSERTS = [
     ('    BASOP_sub_start("SnsQuantScfDec");',
      'if (bfi == 0) {\n'
+     'lc3_dump_i16("fxd_zf", &zero_frame, 1);\n'
+     'lc3_dump_i32("fxd_scfidx", (int32_t*)L_scf_idx, 7);\n'
+     'lc3_dump_i16("fxd_ltpfidx", ltpf_idx, 3);\n'
      'lc3_dump_i16("fxd_sqQdec", sqQdec, decoder->yLen);\n'
      'lc3_dump_i32("fxd_spec_ari", q_d_fx, decoder->yLen);\n'
      'lc3_dump_i16("fxd_exp_ari", &q_fx_exp, 1);\n'
      'lc3_dump_i16("fxd_nfseed", &nf_seed, 1);\n'
-     'lc3_dump_u8("fxd_resbits", resBitBuf, 40);\n'
+     'lc3_dump_u8("fxd_resbits", resBitBuf, 640);\n'
      'lc3_dump_i16("fxd_fillbits", &fill_bits, 1);\n'
      'lc3_dump_i16("fxd_gg", &gg_idx, 1);\n'
      'lc3_dump_i16("fxd_facns", &fac_ns_idx, 1);\n'
