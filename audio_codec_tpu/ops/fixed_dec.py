@@ -334,6 +334,225 @@ def mdct_shaping(x32, scf, scf_exp, bands_offset):
     return x
 
 
+# ------------------------------------------------- fixed SNS decoder
+#
+# processSnsQuantizeScfDecoder_fx (sns_quantize_scf_fx.c:552): stage-1
+# split-VQ codebook lookup + stage-2 MPVQ deindex, energy normalization,
+# idct16 warp and gain scaling — all Word16 arithmetic.
+
+def msu_r(L, a, b):
+    return round_fx(sat32(np.asarray(L, I64) - sat32((np.asarray(a, I64) * b) << 1)))
+
+
+def shl16(x, s):
+    """Word16 saturating left shift (negative s = right shift)."""
+    x = int(x)
+    if s >= 0:
+        return int(sat16(x << min(s, 31)))
+    return x >> min(-s, 31)
+
+
+def _pascal_A(dim, kmax):
+    """MPVQ offset column A(dim, 0..kmax) + top U(dim, kmax+1), exact
+    integers (the tabled h_memN{16,10,6}K* vectors, constants.c:2560-2632,
+    are this recurrence evaluated at the per-dim worst-case K)."""
+    A = [0, 1] + [1] * kmax          # A(1, k)
+    for n in range(2, dim + 1):
+        row = [0] * (kmax + 2)
+        for k in range(1, kmax + 2):
+            row[k] = A[k] + A[k - 1] + row[k - 1]
+        A = row
+    return A[: kmax + 1] + [A[kmax + 1] >> 1]
+
+
+_TABLED_KMAX = {6: 2, 10: 22, 16: 12}
+_MPVQ_OFFS = {d: _pascal_A(d, k) for d, k in _TABLED_KMAX.items()}
+
+
+def mpvq_deindex(dim, k_val, ls_ind, index):
+    """mpvq_deindex_fx (pvq_index_fx.c:313-345) incl. the h_mem setup of
+    get_size_mpvq_calc_offset_fx; returns (pulse vector, ber_flag)."""
+    kmax = _TABLED_KMAX[dim]
+    h = list(_MPVQ_OFFS[dim][: k_val + 2])
+    if k_val != kmax:
+        h[k_val + 1] >>= 1              # A(K+1) -> U(K+1)
+    size = 1 + h[k_val + 1] + (h[k_val] >> 1)
+    ber = 0
+    if dim != 1 and index >= size:      # pvq_dec_deidx_fx safety check
+        ber, index = 1, 0
+    vec = [0] * dim
+    leading_sign = -1 if ls_ind else 1
+    if k_val == 0:
+        return vec, ber
+    k_max, ind = k_val, int(index)
+    for pos in range(dim):
+        if ind == 0:
+            vec[pos] = k_max if leading_sign >= 0 else -k_max
+            break
+        k_acc = k_max
+        while ind < h[k_acc]:
+            k_acc -= 1
+        ind -= h[k_acc]
+        k_delta = k_max - k_acc
+        if k_delta != 0:
+            vec[pos] = k_delta if leading_sign >= 0 else -k_delta
+            leading_sign = -1 if (ind & 1) else 1
+            ind >>= 1
+            k_max -= k_delta
+        a0 = 0                           # a_bwd_fx over h[0..k_max+1]
+        for i in range(1, k_max + 2):
+            a1 = h[i] - a0 - h[i - 1]
+            h[i - 1] = a0
+            a0 = a1
+        h[k_max + 1] = a0
+    return vec, ber
+
+
+def isqrt16(mantissa, exponent):
+    """ISqrt16 (basop_util.c:212-233): 1/sqrt of a Word16 mantissa."""
+    pre = int(norm_s(mantissa))
+    e = exponent - pre
+    m = shl16(mantissa, pre)
+    idx = int(mac_r(-32768 - (32 << 16), m, 1 << 6))
+    frac = m & 0x1FF
+    m = int(msu_r(_t("fx_ISqrtTable")[idx], int(_t("fx_ISqrtDiffTable")[idx]), frac))
+    if (e & 1) == 0:
+        m = int(mult_r(m, 0x5A82))
+    return m, int(msu_r(1 << 15, e, 1 << 14))
+
+
+def pvq_dec_en1_norm(y, k_val_max):
+    """pvq_dec_en1_normQ14_fx (pvq_dec_fx.c:69-118)."""
+    L_yy = int(np.sum(np.asarray(y, I64) ** 2))
+    if L_yy < 64:
+        isqrt_q16 = int(_t("fx_isqrt_Q16tab")[L_yy])
+    else:
+        tmp, exp = isqrt16(L_yy & 0xFFFF, 15)
+        isqrt_q16 = shl16(tmp, exp + 1)
+    shift_num = int(norm_s(k_val_max))
+    shift_tot = 13 - shift_num
+    xq = []
+    for v in y:
+        L = int(L_mult(isqrt_q16, shl16(int(v), shift_num)))
+        xq.append(int(round_fx(L_shl(L, shift_tot))))
+    return xq
+
+
+def idct16(x):
+    """idct16_fx (dct2_fx.c:120-215): Word16 inverse DCT-II butterflies."""
+    def m(a, c):
+        return int(mult_r(a, c))
+
+    def ad(a, b):
+        return int(sat16(a + b))
+
+    def sb(a, b):
+        return int(sat16(a - b))
+
+    i = [int(v) for v in x]
+    a8 = ad(m(i[1], 1136), m(i[15], -11529))
+    a9 = ad(m(i[9], 8956), m(i[7], -7350))
+    a10 = ad(m(i[5], 5461), m(i[11], -10217))
+    a11 = ad(m(i[13], 11086), m(i[3], -3363))
+    a12 = ad(m(i[3], 11086), m(i[13], 3363))
+    a13 = ad(m(i[11], 5461), m(i[5], 10217))
+    a14 = ad(m(i[7], 8956), m(i[9], 7350))
+    a15 = ad(m(i[15], 1136), m(i[1], 11529))
+    b4 = ad(m(i[2], 2260), m(i[14], -11363))
+    b5 = ad(m(i[10], 9633), m(i[6], -6436))
+    b6 = ad(m(i[6], 9633), m(i[10], 6436))
+    b7 = ad(m(i[14], 2260), m(i[2], 11363))
+    b8 = ad(a9, a8)
+    b9 = sb(a8, a9)
+    b10 = sb(a11, a10)
+    b11 = ad(a10, a11)
+    b12 = ad(a13, a12)
+    b13 = sb(a12, a13)
+    b14 = sb(a15, a14)
+    b15 = ad(a14, a15)
+    a0 = ad(m(i[0], 8192), m(i[8], 8192))
+    a1 = ad(m(i[8], -8192), m(i[0], 8192))
+    a2 = ad(m(i[4], 4433), m(i[12], -10703))
+    a3 = ad(m(i[12], 4433), m(i[4], 10703))
+    a4 = ad(b5, b4)
+    a5 = sb(b4, b5)
+    a6 = sb(b7, b6)
+    a7 = ad(b6, b7)
+    a8 = b8
+    a9 = ad(m(b9, -30274), m(b14, 12540))
+    a10 = ad(m(b10, -12540), m(b13, -30274))
+    a11 = b11
+    a12 = b12
+    a13 = ad(m(b13, 12540), m(b10, -30274))
+    a14 = ad(m(b14, 30274), m(b9, 12540))
+    a15 = b15
+    b0 = ad(a3, a0)
+    b1 = ad(a2, a1)
+    b2 = sb(a1, a2)
+    b3 = sb(a0, a3)
+    b4 = a4
+    b5 = ad(m(a5, -23170), m(a6, 23170))
+    b6 = ad(m(a6, 23170), m(a5, 23170))
+    b7 = a7
+    b8 = ad(a11, a8)
+    b9 = ad(a10, a9)
+    b10 = sb(a9, a10)
+    b11 = sb(a8, a11)
+    b12 = sb(a15, a12)
+    b13 = sb(a14, a13)
+    b14 = ad(a13, a14)
+    b15 = ad(a12, a15)
+    a0 = ad(b7, b0)
+    a1 = ad(b6, b1)
+    a2 = ad(b5, b2)
+    a3 = ad(b4, b3)
+    a4 = sb(b3, b4)
+    a5 = sb(b2, b5)
+    a6 = sb(b1, b6)
+    a7 = sb(b0, b7)
+    a10 = ad(m(b10, -23170), m(b13, 23170))
+    a11 = ad(m(b11, -23170), m(b12, 23170))
+    a12 = ad(m(b12, 23170), m(b11, 23170))
+    a13 = ad(m(b13, 23170), m(b10, 23170))
+    return [ad(b15, a0), ad(b14, a1), ad(a13, a2), ad(a12, a3),
+            ad(a11, a4), ad(a10, a5), ad(b9, a6), ad(b8, a7),
+            sb(a7, b8), sb(a6, b9), sb(a5, a10), sb(a4, a11),
+            sb(a3, a12), sb(a2, a13), sb(a1, b14), sb(a0, b15)]
+
+
+_SNS_GAINS = ("fx_sns_vq_reg_adj_gains", "fx_sns_vq_reg_lf_adj_gains",
+              "fx_sns_vq_near_adj_gains", "fx_sns_vq_far_adj_gains")
+_SNS_KVAL = ((10, 1), (10, 0), (8, 0), (6, 0))
+
+
+def sns_decode_scf(scf_idx):
+    """processSnsQuantizeScfDecoder_fx (sns_quantize_scf_fx.c:552-574):
+    scf_idx = L_scf_idx[7] from the side-info/ari parse -> scf_q[16]
+    (Word16). Returns (scf_q, ber_flag)."""
+    idx0, idx1, submode, gidx, ls, mpvq, idxB = [int(v) for v in scf_idx]
+    lf = _t("fx_st1SCF0_7_base5_32x8_Q14")
+    hf = _t("fx_st1SCF8_15_base5_32x8_Q14")
+    scf = [int(v) for v in lf[idx0 * 8: idx0 * 8 + 8]] + \
+          [int(v) for v in hf[idx1 * 8: idx1 * 8 + 8]]
+    gval = int(_t(_SNS_GAINS[submode])[gidx])
+    if submode >> 1:                      # outlier near/far: one 16-dim shape
+        pulses, ber = mpvq_deindex(16, _SNS_KVAL[submode][0], ls, mpvq)
+        maxk = _SNS_KVAL[submode][0]
+    else:                                 # regular: set A (10) + set B (6)
+        pulses, ber = mpvq_deindex(10, _SNS_KVAL[submode][0], ls, mpvq)
+        maxk = _SNS_KVAL[submode][0]
+        if (submode & 1) == 0:
+            pb, ber2 = mpvq_deindex(6, _SNS_KVAL[submode][1], idxB & 1, idxB >> 1)
+            pulses = pulses + pb
+            ber |= ber2
+        else:
+            pulses = pulses + [0] * 6
+    en1 = pvq_dec_en1_norm(pulses, maxk)
+    warped = idct16(en1)
+    out = [int(sat16(scf[i] + int(mult_r(gval, warped[i])))) for i in range(16)]
+    return np.asarray(out, I64), ber
+
+
 def spectral_chain(cfg, sq, side, res_prm, fill_bits, nf_seed, scf_q):
     """Full integer spectral reconstruction for one clean frame
     (dec_lc3.c:156-235): returns (q_d_fx, q_fx_exp) at the IMDCT input.

@@ -53,6 +53,18 @@ def _sides(dumps, n, yLen):
     )
 
 
+def test_sns_decode(point):
+    """Stage-1 + MPVQ stage-2 SNS scale-factor decode, Word16-exact
+    (processSnsQuantizeScfDecoder_fx)."""
+    cfg, dumps = point
+    idx = oracle.frames(dumps, "fxd_scfidx", 7)
+    gold = oracle.frames(dumps, "fxd_scfq", 16)
+    for f in range(len(idx)):
+        scf, ber = fd.sns_decode_scf(idx[f])
+        assert ber == 0
+        assert np.array_equal(scf, gold[f]), f"scf frame {f}"
+
+
 def test_spectral_chain(point):
     """ari scaling -> residual -> noise fill -> gain -> TNS -> shaping,
     all integer-exact per frame (dec_lc3.c:156-235)."""

@@ -95,8 +95,8 @@ def _fx_arrays(text: str) -> dict[str, np.ndarray]:
     for m in FX_DECL_RE.finditer(text):
         ctype, name = m.group(1), m.group(2)
         end = matching_brace(text, m.end() - 1)
-        body = re.sub(r"\((?:Word16|Word32|UWord16|UWord32)\)", " ",
-                      text[m.end() - 1 : end])
+        body = re.sub(r"/\*.*?\*/", " ", text[m.end() - 1 : end], flags=re.S)
+        body = re.sub(r"\((?:Word16|Word32|UWord16|UWord32)\)", " ", body)
         vals = []
         for tok in re.findall(r"[-+]?(?:0[xX][0-9a-fA-F]+|\d+)", body):
             v = int(tok, 0)
@@ -143,7 +143,7 @@ def extract_fixed(tables: dict[str, np.ndarray]) -> None:
 
 SRC_ROM = REPO / ".oracle/src/fixed_point/rom_basop_util.c"
 ROM_DECL_RE = re.compile(
-    r"const\s+(Word16|Word32|UWord16|UWord32)\s+(\w+)\s*\[\s*(\w+)\s*\]\s*=\s*\{")
+    r"const\s+(Word16|Word32|UWord16|UWord32)\s+(\w+)\s*\[\s*([^\]]+)\s*\]\s*=\s*\{")
 
 
 def extract_basop(tables: dict[str, np.ndarray]) -> None:
@@ -154,13 +154,20 @@ def extract_basop(tables: dict[str, np.ndarray]) -> None:
     text = SRC_ROM.read_text() + SRC_FX.read_text()
     want = {"exp2_tab_long", "exp2w_tab_long", "exp2x_tab_long",
             "InvLog2_16_table1", "InvLog2_16_table2", "tnsQuantPts",
-            "isqrt_table", "sqrt_table", "InvTable"}
+            "isqrt_table", "sqrt_table", "InvTable",
+            # fixed SNS decoder (sns_quantize_scf_fx.c / pvq_dec_fx.c)
+            "st1SCF0_7_base5_32x8_Q14", "st1SCF8_15_base5_32x8_Q14",
+            "sns_vq_reg_adj_gains", "sns_vq_reg_lf_adj_gains",
+            "sns_vq_near_adj_gains", "sns_vq_far_adj_gains",
+            "isqrt_Q16tab", "ISqrtTable", "ISqrtDiffTable", "SqrtTable",
+            "SqrtDiffTable"}
     for m in ROM_DECL_RE.finditer(text):
         ctype, name = m.group(1), m.group(2)
         if name not in want:
             continue
         end = matching_brace(text, m.end() - 1)
-        body = re.sub(r"\((?:U?Word16|U?Word32)\)", " ", text[m.end() - 1: end])
+        body = re.sub(r"/\*.*?\*/", " ", text[m.end() - 1: end], flags=re.S)
+        body = re.sub(r"\((?:U?Word16|U?Word32)\)", " ", body)
         vals = []
         for tok in re.findall(r"[-+]?(?:0[xX][0-9a-fA-F]+|\d+)", body):
             v = int(tok, 0)
