@@ -79,14 +79,15 @@ def L_shl(x, s):
 
 
 def mpy_32_16(x, y):
-    """Mpy_32_16: (x*y) >> 15, floor (enh40.c:126-148)."""
-    return (np.asarray(x, I64) * np.asarray(y, I64)) >> 15
+    """Mpy_32_16: sat32((x*y) >> 15), floor (enh40.c:126-148; the final
+    L_Extract40 saturates, and MIN32*MIN16 is special-cased to MAX32)."""
+    return sat32((np.asarray(x, I64) * np.asarray(y, I64)) >> 15)
 
 
 def mpy_32_32(x, y):
-    """Mpy_32_32: (x*y) >> 31, floor — int64 products of two 32-bit values
-    can exceed 2^62? No: |x|,|y| <= 2^31 -> |xy| <= 2^62, fits int64."""
-    return (np.asarray(x, I64) * np.asarray(y, I64)) >> 31
+    """Mpy_32_32: sat32((x*y) >> 31), floor (enh40.c:204-232) — int64
+    products of two 32-bit values fit: |xy| <= 2^62."""
+    return sat32((np.asarray(x, I64) * np.asarray(y, I64)) >> 31)
 
 
 def round_fx(L):

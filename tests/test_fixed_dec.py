@@ -19,7 +19,7 @@ pytestmark = pytest.mark.slow
 # testvec operating points (testvec/Readme.txt:25-36), 16-bit / 10 ms
 POINTS = [("thetest8", 8000, 32000), ("thetest16", 16000, 32000),
           ("thetest24", 24000, 48000), ("thetest32", 32000, 48000),
-          ("thetest48", 48000, 64000)]
+          ("thetest44", 44100, 64000), ("thetest48", 48000, 64000)]
 
 
 @pytest.fixture(scope="module", params=POINTS, ids=[p[0] for p in POINTS])
@@ -63,6 +63,31 @@ def test_sns_decode(point):
         scf, ber = fd.sns_decode_scf(idx[f])
         assert ber == 0
         assert np.array_equal(scf, gold[f]), f"scf frame {f}"
+
+
+def test_imdct(point):
+    """Fixed IMDCT: shaped spectrum + exponent -> Word16 time signal,
+    bit-exact incl. per-frame exponents and OLA memory carry
+    (ProcessingIMDCT, imdct_fx.c:15-180; dct4_fx.c; BASOP_cfft)."""
+    from audio_codec_tpu.ops import fixed_imdct as fi
+    cfg, dumps = point
+    N = cfg.frame_length
+    yLen = cfg.yLen
+    spec = oracle.frames(dumps, "fxd_spec_shaped", yLen)
+    exps = dumps["fxd_exp_shaped"]
+    gold = oracle.frames(dumps, "fxd_imdct", N)
+    gold_e = dumps["fxd_exp_imdct"]
+    n = len(gold)
+    full = np.zeros((n, N), np.int64)
+    full[:, :yLen] = spec
+    ytda, y_e, y_s, zero = fi.batch_dct4(full, exps, N)
+    w = fi.window_table(N)
+    wLen = len(w)
+    st = fi.ImdctState(N, wLen)
+    for f in range(n):
+        x, xe = fi.imdct_ola(ytda[f], y_e[f], y_s[f], zero[f], w, N, wLen, st)
+        assert xe == gold_e[f], f"imdct exp frame {f}: {xe} vs {gold_e[f]}"
+        assert np.array_equal(x, gold[f]), f"imdct frame {f}"
 
 
 def test_spectral_chain(point):

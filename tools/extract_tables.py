@@ -160,7 +160,14 @@ def extract_basop(tables: dict[str, np.ndarray]) -> None:
             "sns_vq_reg_adj_gains", "sns_vq_reg_lf_adj_gains",
             "sns_vq_near_adj_gains", "sns_vq_far_adj_gains",
             "isqrt_Q16tab", "ISqrtTable", "ISqrtDiffTable", "SqrtTable",
-            "SqrtDiffTable"}
+            "SqrtDiffTable",
+            # fixed FFT/DCT-IV (fft.c / dct4_fx.c, BASOP_cfft sizes used by
+            # the 10 ms IMDCT: 40/80/120/160/240)
+            "RotVector_320", "RotVector_480", "RotVector_40_32",
+            # fixed MDCT synthesis windows (imdct_fx.c W_fx)
+            "LowDelayShapes_n960_N80", "LowDelayShapes_n960_N160",
+            "LowDelayShapes_n960_N240", "LowDelayShapes_n960_N320",
+            "LowDelayShapes_n960_N480"}
     for m in ROM_DECL_RE.finditer(text):
         ctype, name = m.group(1), m.group(2)
         if name not in want:
@@ -176,6 +183,41 @@ def extract_basop(tables: dict[str, np.ndarray]) -> None:
                 v -= 1 << bits
             vals.append(v)
         tables["fx_" + name] = np.array(vals, np.int64)
+
+
+PW_DECL_RE = re.compile(r"const\s+PWord16\s+(\w+)\s*\[[^\]]*\]\s*=\s*\{")
+PW_WANT = {"SineTable320", "SineTable480", "SineWindow20", "SineWindow40",
+           "SineWindow60", "SineWindow80", "SineWindow120", "SineWindow160",
+           "SineWindow240", "SineWindow320", "SineWindow480"}
+
+
+def _word32_to_16(v: int) -> int:
+    """WORD322WORD16 (basop_util.h:40-44): Word32 -> Word16 round w/ sat."""
+    if v >= 1 << 31:
+        v -= 1 << 32
+    r = (v >> 15) + 1
+    if r > 0xFFFF and v > 0:
+        return 32767
+    r >>= 1
+    r &= 0xFFFF
+    return r - 0x10000 if r >= 0x8000 else r
+
+
+def extract_pword16(tables: dict[str, np.ndarray]) -> None:
+    """PWord16 twiddle tables (rom_basop_util.c STCP initializers): stored
+    as [N, 2] int16 (re, im) after the WORD322WORD16 conversion the C
+    compiler applies to the Word32 literals."""
+    text = SRC_ROM.read_text()
+    for m in PW_DECL_RE.finditer(text):
+        name = m.group(1)
+        if name not in PW_WANT:
+            continue
+        end = matching_brace(text, m.end() - 1)
+        body = re.sub(r"/\*.*?\*/", " ", text[m.end() - 1: end], flags=re.S)
+        vals = [_word32_to_16(int(tok, 16))
+                for tok in re.findall(r"0[xX][0-9a-fA-F]+", body)]
+        assert len(vals) % 2 == 0, name
+        tables["fx_" + name] = np.array(vals, np.int64).reshape(-1, 2)
 
 
 def main() -> None:
@@ -195,6 +237,7 @@ def main() -> None:
         tables[name] = arr.astype(dtype)
     extract_fixed(tables)
     extract_basop(tables)
+    extract_pword16(tables)
     src_hash = hashlib.sha256(text.encode() + SRC_FX.read_bytes()
                               + SRC_ROM.read_bytes()).hexdigest()
     tables["__source_sha256__"] = np.frombuffer(bytes.fromhex(src_hash), dtype=np.uint8)
