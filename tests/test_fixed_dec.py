@@ -90,6 +90,28 @@ def test_imdct(point):
         assert np.array_equal(x, gold[f]), f"imdct frame {f}"
 
 
+def test_ltpf(point):
+    """Fixed LTPF post-filter: IMDCT output + ltpf params -> Word16 out,
+    bit-exact incl. exponent and x/y history carry
+    (process_ltpf_decoder_fx, ltpf_decoder_fx.c:16-240)."""
+    from audio_codec_tpu.ops import fixed_ltpf as fl
+    cfg, dumps = point
+    N = cfg.frame_length
+    x = oracle.frames(dumps, "fxd_imdct", N)
+    xe = dumps["fxd_exp_imdct"]
+    gold = oracle.frames(dumps, "fxd_ltpf", N)
+    gold_e = dumps["fxd_exp_ltpf"]
+    lidx = oracle.frames(dumps, "fxd_ltpfidx", 3)
+    sfi = fl.scale_fac_idx_for(cfg.total_bits, cfg.fs_idx, cfg.frame_dms)
+    st = fl.LtpfState(cfg.fs)
+    for f in range(len(x)):
+        y, ye = fl.ltpf_decode(st, x[f], int(xe[f]), cfg.fs_idx, N,
+                               int(lidx[f][0]), int(lidx[f][1]),
+                               int(lidx[f][2]), sfi)
+        assert ye == gold_e[f], f"ltpf exp frame {f}: {ye} vs {gold_e[f]}"
+        assert np.array_equal(y, gold[f]), f"ltpf frame {f}"
+
+
 def test_spectral_chain(point):
     """ari scaling -> residual -> noise fill -> gain -> TNS -> shaping,
     all integer-exact per frame (dec_lc3.c:156-235)."""

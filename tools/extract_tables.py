@@ -167,7 +167,10 @@ def extract_basop(tables: dict[str, np.ndarray]) -> None:
             # fixed MDCT synthesis windows (imdct_fx.c W_fx)
             "LowDelayShapes_n960_N80", "LowDelayShapes_n960_N160",
             "LowDelayShapes_n960_N240", "LowDelayShapes_n960_N320",
-            "LowDelayShapes_n960_N480"}
+            "LowDelayShapes_n960_N480",
+            # fixed LTPF decoder scalars (ltpf_decoder_fx.c)
+            "pitch_scale", "inter_filter_len", "inter_filter_shift",
+            "tilt_filter_len", "gain_scale_fac", "ltpf_overlap_len"}
     for m in ROM_DECL_RE.finditer(text):
         ctype, name = m.group(1), m.group(2)
         if name not in want:
@@ -183,6 +186,44 @@ def extract_basop(tables: dict[str, np.ndarray]) -> None:
                 v -= 1 << bits
             vals.append(v)
         tables["fx_" + name] = np.array(vals, np.int64)
+
+
+FX3_WANT = {"inter_filter": (5, 4, 12), "tilt_filter": (5, 4, 11)}
+FX3_RE = re.compile(r"const\s+Word16\s+(\w+)\s*\[(\d+)\]\s*\[(\d+)\]\s*\[(\d+)\]\s*=\s*\{")
+
+
+def extract_fx3(tables: dict[str, np.ndarray]) -> None:
+    """3-D Word16 tables (LTPF interpolation/tilt filters,
+    fixed constants.c:2481-2514)."""
+    text = SRC_FX.read_text()
+    for m in FX3_RE.finditer(text):
+        name = m.group(1)
+        if name not in FX3_WANT:
+            continue
+        dims = tuple(int(m.group(k)) for k in (2, 3, 4))
+        assert dims == FX3_WANT[name], (name, dims)
+        end = matching_brace(text, m.end() - 1)
+        body = re.sub(r"/\*.*?\*/", " ", text[m.end() - 1: end], flags=re.S)
+        # C zero-pads short row initializers: walk innermost {...} groups
+        rows = []
+        depth, cur = 0, None
+        for ch_i, ch in enumerate(body):
+            if ch == "{":
+                depth += 1
+                if depth == 3:
+                    cur = ch_i + 1
+            elif ch == "}":
+                if depth == 3:
+                    rows.append(body[cur:ch_i])
+                depth -= 1
+        arr = np.zeros(dims, np.int64)
+        assert len(rows) == dims[0] * dims[1], (name, len(rows))
+        for r_i, row in enumerate(rows):
+            vals = [int(tok, 0) for tok in
+                    re.findall(r"[-+]?(?:0[xX][0-9a-fA-F]+|\d+)", row)]
+            vals = [v - 0x10000 if v >= 0x8000 else v for v in vals]
+            arr[r_i // dims[1], r_i % dims[1], :len(vals)] = vals
+        tables["fx_" + name] = arr
 
 
 PW_DECL_RE = re.compile(r"const\s+PWord16\s+(\w+)\s*\[[^\]]*\]\s*=\s*\{")
@@ -238,6 +279,7 @@ def main() -> None:
     extract_fixed(tables)
     extract_basop(tables)
     extract_pword16(tables)
+    extract_fx3(tables)
     src_hash = hashlib.sha256(text.encode() + SRC_FX.read_bytes()
                               + SRC_ROM.read_bytes()).hexdigest()
     tables["__source_sha256__"] = np.frombuffer(bytes.fromhex(src_hash), dtype=np.uint8)
