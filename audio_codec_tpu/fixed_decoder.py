@@ -1,0 +1,111 @@
+"""Bit-exact fixed-point LC3plus decoder (conformance mode).
+
+Chains the framework's own bitstream frontend (side-info parse + range
+decoder, ops/bits.py + ops/ari.py — byte-exact integer outputs, run
+batched over all frames under jit) into the integer-exact BASOP backend
+(ops/fixed_dec.py spectral chain + SNS decode, ops/fixed_imdct.py,
+ops/fixed_ltpf.py) and the fixed output rounding (dec_lc3.c:283-300).
+
+This is the MD5-gate decoder (testvec/testvecCheck.pl, md5_dec.txt): its
+int16 output must match the ETSI fixed-point decoder bit-for-bit.  The
+TPU serving path (models/decoder.py) remains the float chain; this
+NumPy/host path exists for conformance and as the oracle for the batched
+int32 TPU port.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import tables as T
+from .config import Config
+from .ops import ari, bits
+from .ops import fixed_dec as fd
+from .ops import fixed_imdct as fi
+from .ops import fixed_ltpf as fl
+
+I64 = np.int64
+
+
+def _frontend(cfg: Config, frames_u8: np.ndarray):
+    """Side-info parse + arithmetic decode for [n_frames, nbytes] frames
+    (all integer outputs, exact)."""
+    import jax
+
+    @jax.jit
+    def run(buf):
+        side = bits.parse_side_info(cfg, buf)
+        dec = ari.decode(cfg, buf, side)
+        return side, dec
+
+    side, dec = run(frames_u8.astype(np.int32))
+    return jax.tree.map(np.asarray, (side, dec))
+
+
+def round_pcm16(x, x_e):
+    """dec_lc3.c:289-295: round_fx_sat(L_shr_sat(L_deposit_h(x), 15-e))."""
+    s = 15 - int(x_e)
+    v = np.asarray(x, I64) << 16
+    if s >= 0:
+        v = v >> s
+    else:
+        v = fd.sat32(v << min(-s, 63))
+    v = fd.sat32(v + 0x8000) >> 16
+    return fd.sat16(v).astype(np.int16)
+
+
+class FixedDecoder:
+    """One-stream bit-exact decoder; frame-serial state, batched math."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        N = cfg.frame_length
+        self.w = fi.window_table(N)
+        self.imdct_st = fi.ImdctState(N, len(self.w))
+        self.ltpf_st = fl.LtpfState(cfg.fs)
+        self.sfi = fl.scale_fac_idx_for(cfg.total_bits, cfg.fs_idx,
+                                        cfg.frame_dms)
+
+    def decode(self, frames_u8: np.ndarray) -> np.ndarray:
+        """[n_frames, nbytes] -> [n_frames, frame_length] int16."""
+        cfg = self.cfg
+        N, yLen = cfg.frame_length, cfg.yLen
+        n = len(frames_u8)
+        side, dec = _frontend(cfg, frames_u8)
+        assert not np.any(side["bfi"]) and not np.any(dec["bfi"]), \
+            "bit errors in clean decode"
+        bo = np.asarray(T.bands_offset(cfg.fs_idx, cfg.frame_dms, cfg.hrmode))
+
+        shaped = np.zeros((n, N), I64)
+        exps = np.zeros(n, I64)
+        for f in range(n):
+            scf_q, ber = fd.sns_decode_scf(side["scf_idx"][f])
+            assert ber == 0
+            x, x_e = fd.ari_scaling(dec["x"][f])
+            x = fd.residual_decode(x, x_e, dec["res_bits"][f],
+                                   int(dec["n_res"][f]))
+            if not dec["zero_frame"][f]:
+                x, _ = fd.noise_filling(
+                    x, int(dec["nf_seed"][f]), x_e,
+                    int(side["fac_ns_idx"][f]), int(side["bw_idx"][f]),
+                    cfg.frame_dms)
+            x, x_e = fd.apply_global_gain(x, x_e, int(side["gg_idx"][f]),
+                                          cfg.quantizedGainOff)
+            x, x_e = fd.tns_decode(dec["tns_idx"][f].reshape(16), x, x_e,
+                                   dec["tns_order"][f],
+                                   int(side["bw_idx"][f]), cfg.frame_dms)
+            scf, scf_e = fd.sns_interpolate(scf_q, cfg.bands_number)
+            scf_e, x_e = fd.scf_scaling(scf_e, x_e)
+            shaped[f, :yLen] = fd.mdct_shaping(x, scf, scf_e, bo)
+            exps[f] = x_e
+
+        ytda, y_e, y_s, zero = fi.batch_dct4(shaped, exps, N, cfg.frame_dms)
+        pcm = np.empty((n, N), np.int16)
+        for f in range(n):
+            x, xe = fi.imdct_ola(ytda[f], y_e[f], y_s[f], zero[f], self.w,
+                                 N, len(self.w), self.imdct_st)
+            lp = side["ltpf_param"][f]
+            y, ye = fl.ltpf_decode(self.ltpf_st, x, xe, cfg.fs_idx, N,
+                                   int(lp[0]), int(lp[1]), int(lp[2]),
+                                   self.sfi)
+            pcm[f] = round_pcm16(y, ye)
+        return pcm

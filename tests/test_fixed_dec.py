@@ -112,6 +112,30 @@ def test_ltpf(point):
         assert np.array_equal(y, gold[f]), f"ltpf frame {f}"
 
 
+def test_full_decode(point):
+    """Standalone bit-exact decode: our bitstream frontend + integer
+    backend vs the ETSI fixed-point decoder's WAV, sample-for-sample
+    (north-star decode conformance; delay trim per codec_exe.c:484-486,
+    lc3_dec_get_delay = frame_length - 2*la_zeroes)."""
+    from audio_codec_tpu.fixed_decoder import FixedDecoder
+    from audio_codec_tpu.utils import bitstream_io as bio
+    cfg, dumps = point
+    wav_name = {8000: "thetest8", 16000: "thetest16", 24000: "thetest24",
+                32000: "thetest32", 44100: "thetest44",
+                48000: "thetest48"}[cfg.fs_in]
+    bs = oracle.fx_encode(wav_name, cfg.bitrate)
+    _, wav = oracle.fx_dec_dumps(bs, f"{wav_name}_{cfg.bitrate}")
+    gold, _ = oracle.read_wav_mono(wav)
+    h, frames = bio.read_all(bs)
+    f = np.stack([np.frombuffer(x, np.uint8) for x in frames])
+    pcm = FixedDecoder(cfg).decode(f).reshape(-1)
+    delay = cfg.frame_length - 2 * cfg.la_zeroes
+    out = pcm[delay: delay + h.signal_len]
+    if len(out) < h.signal_len:     # exe zero-pads the tail to signal_len
+        out = np.pad(out, (0, h.signal_len - len(out)))
+    assert np.array_equal(out, gold[:, 0]), "decoded WAV differs"
+
+
 def test_spectral_chain(point):
     """ari scaling -> residual -> noise fill -> gain -> TNS -> shaping,
     all integer-exact per frame (dec_lc3.c:156-235)."""

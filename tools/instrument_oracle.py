@@ -166,6 +166,9 @@ FX_DEC_INSERTS = [
      'lc3_dump_i32("fxd_spec_shaped", q_d_fx, decoder->yLen);\n'
      'lc3_dump_i16("fxd_exp_shaped", &q_fx_exp, 1);\n'
      '}\n'),
+    ('    BASOP_sub_start("PLC/PC::DampingScrambling");',
+     'lc3_dump_i16("fxd_bfi", &bfi, 1);\n'
+     'lc3_dump_i16("fxd_cm", &h_DecSetup->concealMethod, 1);\n'),
     ('    BASOP_sub_start("PLC::Update");',
      'if (bfi == 0) {\n'
      'lc3_dump_i16("fxd_imdct", x_fx, decoder->frame_length);\n'
