@@ -64,6 +64,108 @@ class FixedDecoder:
         self.ltpf_st = fl.LtpfState(cfg.fs)
         self.sfi = fl.scale_fac_idx_for(cfg.total_bits, cfg.fs_idx,
                                         cfg.frame_dms)
+        from .ops import plc_fixed as pf
+        self.plc = pf.PlcState(cfg.fs_idx)
+        self.bo = np.asarray(T.bands_offset(cfg.fs_idx, cfg.frame_dms,
+                                            cfg.hrmode))
+
+    def _spectral_chain(self, side, dec, f):
+        """Clean-frame integer chain (dec_lc3.c:156-235) -> (q_d, exp,
+        scf_q)."""
+        cfg = self.cfg
+        scf_q, ber = fd.sns_decode_scf(side["scf_idx"][f])
+        assert ber == 0
+        x, x_e = fd.ari_scaling(dec["x"][f])
+        x = fd.residual_decode(x, x_e, dec["res_bits"][f],
+                               int(dec["n_res"][f]))
+        if not dec["zero_frame"][f]:
+            x, _ = fd.noise_filling(
+                x, int(dec["nf_seed"][f]), x_e, int(side["fac_ns_idx"][f]),
+                int(side["bw_idx"][f]), cfg.frame_dms)
+        x, x_e = fd.apply_global_gain(x, x_e, int(side["gg_idx"][f]),
+                                     cfg.quantizedGainOff)
+        x, x_e = fd.tns_decode(dec["tns_idx"][f].reshape(16), x, x_e,
+                               dec["tns_order"][f],
+                               int(side["bw_idx"][f]), cfg.frame_dms)
+        scf, scf_e = fd.sns_interpolate(scf_q, cfg.bands_number)
+        scf_e, x_e = fd.scf_scaling(scf_e, x_e)
+        x = fd.mdct_shaping(x, scf, scf_e, self.bo)
+        return x, x_e, scf_q
+
+    def decode_plc(self, frames_u8: np.ndarray, bfi: np.ndarray,
+                   frame_hook=None) -> np.ndarray:
+        """Full decode with frame erasures (bfi[f] in {0,1}): the MD5-gate
+        path (dec_lc3.c:103-300 with advanced PLC).  `frame_hook(f, self)`
+        runs after each frame (test instrumentation)."""
+        from .ops import plc_fixed as pf
+        cfg = self.cfg
+        N, yLen = cfg.frame_length, cfg.yLen
+        n = len(frames_u8)
+        bfi = np.asarray(bfi)
+        good_idx = np.nonzero(bfi == 0)[0]
+        side, dec = _frontend(cfg, frames_u8[good_idx])
+        gmap = {int(f): k for k, f in enumerate(good_idx)}
+        st, plc, ltpf = self.imdct_st, self.plc, self.ltpf_st
+        pcm = np.zeros((n, N), np.int16)
+        for f in range(n):
+            b = int(bfi[f])
+            scf_q = None
+            if b != 1:
+                k = gmap[f]
+                assert not side["bfi"][k] and not dec["bfi"][k]
+                q_d, q_exp, scf_q = self._spectral_chain(side, dec, k)
+                q_d = np.concatenate([q_d, np.zeros(N - yLen, I64)])
+                lp = side["ltpf_param"][k]
+            else:
+                q_d, q_exp = np.zeros(N, I64), 0
+                lp = np.zeros(3, np.int64)
+            pf.stab_fac_main(plc, scf_q, b)
+            if b == 1:
+                plc.pc_nb_lost = getattr(plc, "pc_nb_lost", 0) + 1
+            pf.classify(plc, 1, b, ltpf.pitch_int, N, cfg.frame_dms,
+                        cfg.fs_idx, self.bo, cfg.bands_number)
+            cm = plc.conceal_method
+            plc.mid_nb_lost = plc.nb_lost    # pre-update value (dumps)
+            if b == 1:
+                if cm == 2:
+                    x_fx, q_exp = pf.phase_ecu(plc, st, self.w, cfg, ltpf)
+                elif cm == 3:
+                    x_fx, q_exp = pf.tdc_conceal(plc, st, self.w, cfg, ltpf)
+                elif cm == 4:
+                    q_exp = plc.q_old_exp
+                    q_d = pf.noise_substitution(plc, yLen)
+                    q_d = np.concatenate([q_d, np.zeros(N - yLen, I64)])
+                else:
+                    raise AssertionError(f"method {cm}")
+            if b == 0:
+                pf.update_spec(plc, q_d[:yLen], int(q_exp), yLen)
+            if cfg.frame_dms == 100:
+                pf.spec2shape(plc, plc.prev_bfi, b, yLen)
+            if b != 0:
+                damp_scramb = 1 if (cm == 4 or b == 2) else 0
+                pf.damping_scrambling(plc, q_d, yLen, plc.nb_lost,
+                                      plc.stab_fac, damp_scramb,
+                                      ltpf.pitch_int, cfg.frame_dms,
+                                      "ns_seed", 0)
+            if b != 1 or cm in (0, 4, 5):
+                ytda, y_e, y_s, zero = fi.batch_dct4(
+                    q_d[None, :], np.asarray([q_exp], I64), N, cfg.frame_dms)
+                x_fx, q_exp = fi.imdct_ola(ytda[0], y_e[0], y_s[0], zero[0],
+                                           self.w, N, len(self.w), st)
+            if getattr(plc, "skip_update", False):
+                plc.skip_update = False      # golden-state repair (tests)
+            else:
+                pf.update_after_imdct(plc, x_fx, int(q_exp), cm, N,
+                                      cfg.fs_idx, b,
+                                      scf_q if scf_q is not None else [0] * 16)
+            y, ye = fl.ltpf_decode(ltpf, x_fx, int(q_exp), cfg.fs_idx, N,
+                                   int(lp[0]), int(lp[1]), int(lp[2]),
+                                   self.sfi, bfi=b, conceal_method=cm,
+                                   damping=plc.damping)
+            pcm[f] = round_pcm16(y, ye)
+            if frame_hook is not None:
+                frame_hook(f, self)
+        return pcm
 
     def decode(self, frames_u8: np.ndarray) -> np.ndarray:
         """[n_frames, nbytes] -> [n_frames, frame_length] int16."""

@@ -170,7 +170,16 @@ def extract_basop(tables: dict[str, np.ndarray]) -> None:
             "LowDelayShapes_n960_N480",
             # fixed LTPF decoder scalars (ltpf_decoder_fx.c)
             "pitch_scale", "inter_filter_len", "inter_filter_shift",
-            "tilt_filter_len", "gain_scale_fac", "ltpf_overlap_len"}
+            "tilt_filter_len", "gain_scale_fac", "ltpf_overlap_len",
+            # fixed advanced-PLC (plc_*.c)
+            "e_tot_headroom", "mdct_grp_bins_fx",
+            "xavg_N_grp_fx", "spec_shape_headroom", "hamm_len2Tab",
+            "rectLengthTab",
+            "lpc_warp_dee_emphasis_16_8000", "lpc_warp_dee_emphasis_16_e_8000",
+            "lpc_warp_dee_emphasis_16_16000", "lpc_warp_dee_emphasis_16_e_16000",
+            "lpc_warp_dee_emphasis_16_24000", "lpc_warp_dee_emphasis_16_e_24000",
+            "lpc_warp_dee_emphasis_16_32000", "lpc_warp_dee_emphasis_16_e_32000",
+            "lpc_warp_dee_emphasis_16_48000", "lpc_warp_dee_emphasis_16_e_48000"}
     for m in ROM_DECL_RE.finditer(text):
         ctype, name = m.group(1), m.group(2)
         if name not in want:

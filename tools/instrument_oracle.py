@@ -168,7 +168,36 @@ FX_DEC_INSERTS = [
      '}\n'),
     ('    BASOP_sub_start("PLC/PC::DampingScrambling");',
      'lc3_dump_i16("fxd_bfi", &bfi, 1);\n'
-     'lc3_dump_i16("fxd_cm", &h_DecSetup->concealMethod, 1);\n'),
+     'lc3_dump_i16("fxd_cm", &h_DecSetup->concealMethod, 1);\n'
+     'lc3_dump_i16("fxd_ncorr", &h_DecSetup->plcAd->norm_corrQ15_fx, 1);\n'
+     'lc3_dump_i16("fxd_stab", &h_DecSetup->plcAd->stab_fac, 1);\n'
+     'lc3_dump_i16("fxd_nblost", &h_DecSetup->nbLostFramesInRow, 1);\n'),
+    ('    BASOP_sub_start("Imdct");',
+     'lc3_dump_i32("fxd_spec_pd", q_d_fx, decoder->yLen);\n'
+     'lc3_dump_i16("fxd_exp_pd", &q_fx_exp, 1);\n'
+     'lc3_dump_i16("fxd_damp", &h_DecSetup->plc_damping, 1);\n'
+     'lc3_dump_i16("fxd_cumslow", &h_DecSetup->plcAd->cum_fading_slow, 1);\n'
+     'lc3_dump_i16("fxd_cumfast", &h_DecSetup->plcAd->cum_fading_fast, 1);\n'
+     'lc3_dump_i16("fxd_cumfflc", &h_DecSetup->plcAd->cum_fflcAtten, 1);\n'
+     'lc3_dump_i16("fxd_nsseed", &h_DecSetup->ns_seed, 1);\n'
+     'lc3_dump_i16("fxd_tdcseed", &h_DecSetup->plcAd->tdc_seed, 1);\n'
+     'lc3_dump_i16("fxd_tdcfract", &h_DecSetup->plcAd->tdc_fract, 1);\n'
+     'lc3_dump_i16("fxd_harmQ", &h_DecSetup->plcAd->harmonicBuf_Q, 1);\n'
+     'lc3_dump_i32("fxd_tdcgainc", &h_DecSetup->plcAd->tdc_gain_c, 1);\n'
+     'lc3_dump_i16("fxd_tdcA", h_DecSetup->plcAd->tdc_A, 17);\n'),
+    ('    BASOP_sub_start("PLC::Update");',
+     'lc3_dump_i16("fxd_x_all", x_fx, decoder->frame_length);\n'
+     'lc3_dump_i16("fxd_exp_xall", &q_fx_exp, 1);\n'
+     'lc3_dump_i16("fxd_ola", h_DecSetup->stDec_ola_mem_fx, decoder->stDec_ola_mem_fx_len);\n'
+     'lc3_dump_i16("fxd_ola_exp", &h_DecSetup->stDec_ola_mem_fx_exp, 1);\n'),
+    ('    BASOP_sub_start("LtpfDec");',
+     'lc3_dump_i16("fxd_xold", h_DecSetup->plcAd->x_old_tot_fx, h_DecSetup->plcAd->max_len_pcm_plc);\n'
+     'lc3_dump_i16("fxd_qfold", &h_DecSetup->plcAd->q_fx_old_exp, 1);\n'
+     'lc3_dump_i16("fxd_oldscf", h_DecSetup->plcAd->old_scf_q, 16);\n'
+     'lc3_dump_i16("fxd_nscum", &h_DecSetup->ns_cum_alpha, 1);\n'
+     'lc3_dump_i16("fxd_qold", h_DecSetup->q_old_d_fx, decoder->yLen);\n'
+     'lc3_dump_i16("fxd_qold_exp", &h_DecSetup->q_old_fx_exp, 1);\n'
+     'lc3_dump_i16("fxd_margin_xfp", &h_DecSetup->plcAd->PhECU_margin_xfp, 1);\n'),
     ('    BASOP_sub_start("PLC::Update");',
      'if (bfi == 0) {\n'
      'lc3_dump_i16("fxd_imdct", x_fx, decoder->frame_length);\n'
