@@ -137,6 +137,8 @@ class FixedDecoder:
                     q_d = np.concatenate([q_d, np.zeros(N - yLen, I64)])
                 else:
                     raise AssertionError(f"method {cm}")
+            plc.mid_harm_q = plc.harmonic_q      # pre-update (dump anchor)
+            plc.mid_gain_c = plc.tdc_gain_c
             if b == 0:
                 pf.update_spec(plc, q_d[:yLen], int(q_exp), yLen)
             if cfg.frame_dms == 100:

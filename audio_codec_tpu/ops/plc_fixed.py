@@ -585,3 +585,757 @@ class PlcState:
         self.short_flag_prev = 0
         self.old_grp_shape = [GRP_SHAPE_INIT] * MAX_LGW
         self.oold_grp_shape = [GRP_SHAPE_INIT] * MAX_LGW
+
+
+# ================================================================ TD-PLC
+#
+# Concealment method 3 (plc_tdc_main_fx.c + LPC analysis chain + TDAC).
+
+TDC_L_FIR_HP = 11
+PLC3_HPBLENDTHROTTLE = 30
+PLC34_ATTEN = {25: 0x6BA3, 50: 0x5A83, 100: 0x4000}
+
+
+def _lmac_sat(L, a, b):
+    return _lmac(L, a, b)
+
+
+def lmac0_sat(L, a, b):
+    return lmac0(L, a, b)
+
+
+def divide1616(x, y):
+    """BASOP_Util_Divide1616_Scale (basop_util.c:484-534)."""
+    sign = 0
+    if x < 0:
+        x = -x
+        sign ^= 1
+    if y < 0:
+        y = -y
+        sign ^= 1
+    if x == 0:
+        return 0, 0
+    sx = int(norm_s(x))
+    x = _shl16(x, sx) >> 1
+    s = 1 - sx
+    sy = int(norm_s(y))
+    y = _shl16(y, sy)
+    s += sy
+    z = div_s(x, y)
+    return (-z if sign else z), s
+
+
+def per_band_energy(d_fx, d_fx_exp, band_offsets, fs_idx, n_bands,
+                    frame_dms=100):
+    """processPerBandEnergy_fx, linear mode (per_band_energy_fx.c:17-230).
+    d_fx: Word32 spectrum list; returns (d2[n_bands], d2_exp)."""
+    max_bw = 400 >> {25: 2, 50: 1, 100: 0}[frame_dms]
+    one_max = int(T.t("fx_bands_offset_with_one_max_lin")[fs_idx])
+    two_max = int(T.t("fx_bands_offset_with_two_max_lin")[fs_idx])
+    nrg_scale = T.t("fx_bands_nrg_scale")
+    inv_int = T.t("fx_InvIntTable")
+    bo = [int(v) for v in band_offsets]
+    d2 = [0] * n_bands
+    d2e = [0] * n_bands
+    band = 0
+    while band < one_max:
+        v = int(d_fx[band])
+        s2 = 15
+        if v != 0:
+            s2 = min(s2, int(norm_l(v)))
+        t16 = int(sat32(v << s2)) >> 16
+        d2[band] = int(sat32(t16 * t16))
+        d2e[band] = 1 - (s2 << 1)
+        band += 1
+    i = one_max
+    while band < two_max:
+        if i + 1 >= max_bw:
+            if i >= max_bw:
+                d2[band] = 0
+                d2e[band] = 1 - 30
+            else:
+                v = int(d_fx[band])
+                s2 = 15
+                if v != 0:
+                    s2 = min(s2, int(norm_l(v)))
+                t16 = int(sat32(v << s2)) >> 16
+                d2[band] = int(sat32(t16 * t16))
+                d2e[band] = 1 - (s2 << 1)
+        else:
+            va, vb = int(d_fx[i]), int(d_fx[i + 1])
+            s2 = 15
+            if va != 0:
+                s2 = min(s2, int(norm_l(va)))
+            if vb != 0:
+                s2 = min(s2, int(norm_l(vb)))
+            ta = int(sat32(va << s2)) >> 16
+            nrg = min(int(sat32(ta * ta)), 0x3FFFFFFF)
+            tb = int(sat32(vb << s2)) >> 16
+            d2[band] = lmac0(nrg, tb, tb) >> 1
+            d2e[band] = 1 - (s2 << 1)
+        i += 2
+        band += 1
+    while band < n_bands:
+        k = i
+        s1 = 15
+        stop = min(bo[band + 1], max_bw)
+        while k < stop:
+            v = int(d_fx[k])
+            if v != 0:
+                s1 = min(s1, int(norm_l(v)))
+            k += 1
+        nb = min(max(0, bo[band + 1] - bo[band]), 31)
+        s2 = s1 - int(nrg_scale[nb])
+        nrg = 0
+        while i < stop:
+            t16 = int(L_shl(int(d_fx[i]), s2)) >> 16
+            nrg = lmac0(nrg, t16, t16)
+            i += 1
+        i = bo[band + 1]
+        nrg = int(mpy_32_16(nrg, int(inv_int[nb])))
+        s = int(norm_l(nrg))
+        d2[band] = int(sat32(nrg << s))
+        d2e[band] = 1 - ((s2 << 1) + s)
+        band += 1
+    smax = max([-31] + d2e[:n_bands])
+    for band in range(n_bands):
+        d2[band] = d2[band] >> min(smax - d2e[band], 31)
+    return d2, (d_fx_exp << 1) + smax
+
+
+def pre_emphasis(d2, d2_exp, fs_idx, n_bands):
+    """processPreEmphasis_fx (plc_tdc_pre_emphasis_fx.c:17-92)."""
+    _FS = ["8000", "16000", "24000", "32000", "48000"]
+    pe = T.t(f"fx_lpc_lin_pre_emphasis_80_{_FS[fs_idx]}")
+    pee = T.t(f"fx_lpc_lin_pre_emphasis_80_e_{_FS[fs_idx]}")
+    de = [0] * n_bands
+    smax = -31
+    for band in range(n_bands):
+        nrg = int(mpy_32_16(int(d2[band]), int(pe[band])))
+        s = 31 if nrg == 0 else int(norm_l(nrg))
+        d2[band] = int(sat32(nrg << s))
+        de[band] = int(pee[band]) - s
+        smax = max(smax, de[band])
+    for band in range(n_bands):
+        d2[band] = d2[band] >> min(smax - de[band], 31)
+    return d2, d2_exp + smax
+
+
+def _rfftN(x, n, scale):
+    """BASOP_rfftN (fft.c:3832-3893) for n in {40, 80}; x: list of ints."""
+    from . import fixed_imdct as fi
+    tw = T.t(f"fx_RealFFT{n}_twid")
+    n2, n4, n8 = n >> 1, n >> 2, n >> 3
+    pairs = [(x[2 * j], x[2 * j + 1]) for j in range(n2)]
+    pairs, sc = fi.cfft(pairs, n2)
+    for j in range(n2):
+        x[2 * j], x[2 * j + 1] = int(pairs[j][0]), int(pairs[j][1])
+    scale += sc
+    xb0, xb1 = x[0] >> 1, x[1] >> 1
+    x[0] = int(sat32(xb0 + xb1))
+    x[1] = int(sat32(xb0 - xb1))
+
+    def twiddle1(i, w1, w2):
+        xb0, xb1 = x[2 * i] >> 2, x[2 * i + 1] >> 2
+        xt0, xt1 = x[n - 2 * i] >> 2, x[n - 2 * i + 1] >> 2
+        t1 = int(sat32(xb0 - xt0))
+        t2 = int(sat32(xb1 + xt1))
+        t3 = int(sat32(int(mpy_32_32(t1, w1)) - int(mpy_32_32(t2, w2))))
+        t4 = int(sat32(int(mpy_32_32(t1, w2)) + int(mpy_32_32(t2, w1))))
+        t1 = int(sat32(xb0 + xt0))
+        t2 = int(sat32(xb1 - xt1))
+        return t1, t2, t3, t4
+
+    for i in range(1, n8):
+        t1, t2, t3, t4 = twiddle1(i, int(tw[2 * i + 1]), int(tw[2 * i]))
+        x[2 * i] = int(sat32(t1 - t3))
+        x[2 * i + 1] = int(sat32(t2 - t4))
+        x[n - 2 * i] = int(sat32(t1 + t3))
+        x[n - 2 * i + 1] = int(sat32(-int(sat32(t2 + t4))))
+    for i in range(n8, n4):
+        t1, t2, t3, t4 = twiddle1(i, int(tw[2 * n4 - 2 * i]),
+                                  int(tw[2 * n4 - 2 * i + 1]))
+        x[2 * i] = int(sat32(t1 - t3))
+        x[2 * i + 1] = int(sat32(t2 - t4))
+        x[n - 2 * i] = int(sat32(t1 + t3))
+        x[n - 2 * i + 1] = int(sat32(-int(sat32(t2 + t4))))
+    i = n4
+    x[n - 2 * i] = x[2 * i] >> 1
+    x[n - 2 * i + 1] = int(sat32(-(x[2 * i + 1] >> 1)))
+    return x, scale + 1
+
+
+def inverse_odft(d2, d2_exp, n_bands, lpc_order):
+    """processInverseODFT_fx (plc_tdc_inverse_odft_fx.c:17-133)."""
+    from . import fixed_imdct as fi
+    n2 = n_bands >> 1
+    if n_bands in (20, 60):
+        x = [0] * (2 * n_bands)
+        for i in range(n2):
+            x[2 * i] = int(d2[2 * i])
+            x[2 * i + 1] = 0
+            x[n_bands + 2 * i] = int(d2[n_bands - 1 - 2 * i])
+            x[n_bands + 2 * i + 1] = 0
+        pairs = [(x[2 * j], x[2 * j + 1]) for j in range(n_bands)]
+        pairs, sc = fi.cfft(pairs, n_bands)
+        for j in range(n_bands):
+            x[2 * j], x[2 * j + 1] = int(pairs[j][0]), int(pairs[j][1])
+        d2_exp += sc
+    else:
+        x = [0] * n_bands
+        for i in range(n2):
+            x[i] = int(d2[2 * i])
+            x[n2 + i] = int(d2[n_bands - 1 - 2 * i])
+        x, d2_exp = _rfftN(x, n_bands, d2_exp)
+    tw_re = T.t(f"fx_inv_odft_twiddle_{min(n_bands, 80)}_re")
+    tw_im = T.t(f"fx_inv_odft_twiddle_{min(n_bands, 80)}_im")
+    r = [0] * (lpc_order + 1)
+    s = int(norm_l(x[0])) if x[0] != 0 else 31
+    r[0] = int(sat32(x[0] << s))
+    r[0] = int(mpy_32_32(r[0], 0x4001A36E))
+    if int(norm_l(r[0])) > 0 and r[0] != 0:
+        r[0] = int(sat32(r[0] << 1))
+    else:
+        s -= 1
+    for i in range(1, lpc_order + 1):
+        r[i] = int(sat32(int(mpy_32_32(int(L_shl(x[2 * i], s)),
+                                       int(tw_re[i - 1])))
+                         + int(mpy_32_32(int(L_shl(x[2 * i + 1], s)),
+                                         int(tw_im[i - 1])))))
+    r_exp = d2_exp - s
+    if r[0] == 0:
+        r = [MAX32] + [0] * lpc_order
+        r_exp = 0
+    return r, r_exp
+
+
+def lagwin(r, fs_idx, m):
+    """processLagwin_fx."""
+    _FS = ["8k", "16k", "24k", "32k", "48k"]
+    w = T.t(f"fx_lag_win_{_FS[fs_idx]}")
+    for i in range(m):
+        r[i + 1] = int(mpy_32_32(r[i + 1], int(w[i])))
+    return r
+
+
+def levinson(ac, N):
+    """processLevinson_fx (levinson_fx.c:14-120) -> lpc Word32[N+1]."""
+    lpc = [0] * (N + 1)
+    err = int(ac[0])
+    shift = 0
+    lpc[0] = 0x8000000
+    if ac[0] != 0:
+        inv = div_s(16383, _extract_h(ac[0]))
+        rc32 = int(L_shl(int(mpy_32_32(
+            abs(int(ac[1])),
+            int(mpy_32_16(int(sat32(MAX32 - int(mpy_32_16(int(ac[0]), inv)))),
+                          inv)))), 2))
+    else:
+        rc32 = 0
+    if int(ac[1]) > 0:
+        rc32 = int(sat32(-rc32))
+    lpc[1] = rc32 >> 4
+    for n in range(2, N + 1):
+        err = int(mpy_32_32(err, int(sat32(MAX32 - int(mpy_32_32(rc32, rc32))))))
+        s = int(norm_l(err)) if err != 0 else 31
+        err = int(sat32(err << s))
+        shift += s
+        ssum = int(mpy_32_32(int(ac[1]), lpc[n - 1]))
+        for m_ in range(2, n):
+            ssum = int(sat32(ssum + int(mpy_32_32(int(ac[m_]), lpc[n - m_]))))
+        ssum = int(sat32(int(sat32(ssum << 4)) + int(ac[n])))
+        if err != 0:
+            inv = div_s(16383, _extract_h(err))
+            rc32 = int(L_shl(int(mpy_32_32(
+                abs(ssum),
+                int(mpy_32_16(int(sat32(MAX32 - int(mpy_32_16(err, inv)))),
+                              inv)))), 2))
+        else:
+            rc32 = 0
+        if ssum > 0:
+            rc32 = int(sat32(-rc32))
+        rc32 = int(L_shl(rc32, shift))
+        tmp = [0] * (N + 1)
+        for m_ in range(1, n):
+            tmp[m_] = int(sat32(lpc[m_] + int(mpy_32_32(rc32, lpc[n - m_]))))
+        lpc[1:n] = tmp[1:n]
+        lpc[n] = rc32 >> 4
+    return lpc
+
+
+def _extract_h(v):
+    return _extract_l(int(v) >> 16)
+
+
+def lpc_scaling(lpc32, m):
+    """processPLCLpcScaling_fx: Word32 -> Word16 with common scale."""
+    arr = np.asarray(lpc32[:m], I64)
+    nz = arr != 0
+    s = 0 if not nz.any() else int(
+        np.where(nz, norm_l(np.where(nz, arr, 1)), 32).min()) & 0x1F
+    out = []
+    for v in lpc32[:m]:
+        out.append(int(round_fx(L_shl(int(v), s))))
+    return out
+
+
+def tdc_lpc_analysis(st, cfg):
+    """First-loss LPC analysis (plc_apply_fx.c case 3, nbLost==1)."""
+    yLen = cfg.yLen
+    n_bands = min(cfg.frame_length, 80)
+    _FS = ["8000", "16000", "24000", "32000", "48000"]
+    bo = T.t(f"bands_offset_{_FS[cfg.fs_idx]}_lpc_lin")
+    spec32 = [int(v) << 16 for v in st.q_old_d[:yLen]]
+    d2, d2e = per_band_energy(spec32, st.q_old_exp, bo, cfg.fs_idx, n_bands,
+                              cfg.frame_dms)
+    d2, d2e = pre_emphasis(d2, d2e, cfg.fs_idx, n_bands)
+    r, re_ = inverse_odft(d2, d2e, n_bands, 16)
+    r = lagwin(r, cfg.fs_idx, 16)
+    lpc32 = levinson(r, 16)
+    st.tdc_A = lpc_scaling(lpc32, 17)
+
+
+def _tdc_dot16(x, xoff, y, lg):
+    s = _lmult(int(x[xoff]), int(y[0]))
+    for i in range(1, lg - 1):
+        s = _lmac(s, int(x[xoff + i]), int(y[i]))
+    return _round16(_lmac(s, int(x[xoff + lg - 1]), int(y[lg - 1])))
+
+
+def _tdc_ldot(x, xoff, y, lg):
+    s = lmac0(1, int(x[xoff]), int(y[0]))
+    for i in range(1, lg):
+        s = lmac0(s, int(x[xoff + i]), int(y[i]))
+    return s
+
+
+def _tdc_calc_gainp(x, xo, y, yo, lg):
+    """TDC_calcGainp (plc_tdc_main_fx.c:712-800)."""
+    t1 = t2 = 0
+    for i in range(0, lg, 2):
+        t1 = lmac0(t1, int(x[xo + i]), int(y[yo + i]))
+        t2 = lmac0(t2, int(x[xo + i + 1]), int(y[yo + i + 1]))
+    tcorr = int(sat32((t1 >> 1) + (t2 >> 1)))
+    qc = int(norm_l(tcorr)) if tcorr != 0 else 31
+    tcorr = int(L_shl(tcorr, qc))
+    qc = 2 - qc
+    t1 = t2 = 0
+    for i in range(0, lg, 2):
+        t1 = lmac0(t1, int(y[yo + i]), int(y[yo + i]))
+        t2 = lmac0(t2, int(y[yo + i + 1]), int(y[yo + i + 1]))
+    tener = int(sat32((t1 >> 1) + (t2 >> 1)))
+    qe = int(norm_l(tener)) if tener != 0 else 31
+    tener = int(L_shl(tener, qe))
+    qe = 2 - qe
+    tener = max(tener, 1)
+    negative = tcorr <= 0
+    tcorr = abs(max(tcorr, MIN32 + 1))
+    m_corr = _extract_h(tcorr)
+    m_ener = _extract_h(tener)
+    if m_corr > m_ener:
+        m_corr >>= 1
+        qc += 1
+    if m_ener == 0:
+        m_corr = 0x7FFF
+    else:
+        m_corr = div_s(m_corr, m_ener)
+    qc -= qe
+    gain = int(L_shl(m_corr, qc + 1))
+    return int(sat32(-gain)) if negative else gain
+
+
+def _tdc_calc_gainc(exc, eoff, q_exc, pitch, lg, frame_dms, gainp):
+    """TDC_calcGainc (plc_tdc_main_fx.c:646-710) -> 15Q16."""
+    L = 0
+    for i in range(lg):
+        t16 = int(sat16(int(exc[eoff + i - lg])
+                        - _mult_r(gainp, int(exc[eoff + i - lg - pitch]))))
+        L = lmac0(L, t16, t16)
+    if frame_dms < 100:
+        Lm = 0
+        for i in range(lg):
+            Lm = lmac0(Lm, int(exc[eoff + i - lg]), int(exc[eoff + i - lg]))
+        L = min(L, Lm)
+    te = int(norm_l(L)) if L != 0 else 31
+    L = int(L_shl(L, te))
+    te = (31 - (q_exc << 1)) - te
+    t16, t2e = divide3216(L, lg)
+    te = (t2e + te) - 15
+    if t16 != 0:
+        t16, te = sqrt16(t16, te)
+        te = min(te, 15)
+        return int(L_shl(t16, te + 1))
+    return 0
+
+
+def _tdc_preemph(x, off, fac, lg):
+    """TDC_preemph (plc_tdc_main_fx.c:955-1000): in-place on x[off:off+lg],
+    reads x[off-1].  Returns Q."""
+    fac_sh = fac >> 3
+    max_val = 0
+    for i in range(lg - 1, -1, -1):
+        v = int(sat32(_lmult(int(x[off + i]), 4096)
+                      - _lmult(int(x[off + i - 1]), fac_sh)))
+        max_val = max(abs(v), max_val)
+    q_out = 12
+    if _extract_h(max_val) != 0:
+        q_out = min(max(int(norm_s(_extract_h(max_val))) - 3, 0), 12)
+    for i in range(lg - 1, -1, -1):
+        v = int(sat32(_lmult(int(x[off + i]), 4096)
+                      - _lmult(int(x[off + i - 1]), fac_sh)))
+        x[off + i] = _round16(int(L_shl(v, q_out)))
+    return q_out - 2
+
+
+def _tdc_residu(a, x, xoff, y, yoff, lg, m):
+    """TDC_LPC_residu_fx."""
+    a_exp = int(norm_s(a[0])) + 2
+    for i in range(lg):
+        s = _lmult(int(x[xoff + i]), a[0])
+        for k in range(1, m + 1):
+            s = _lmac(s, int(x[xoff + i - k]), a[k])
+        y[yoff + i] = _round16(int(L_shl(s, a_exp)))
+
+
+def _tdc_synthesis(sh, a, x, xoff, y, yoff, lg, m):
+    """TDC_LPC_synthesis_fx: y has m history before yoff."""
+    q = int(norm_s(a[0])) + 1
+    a0 = a[0] >> sh if sh >= 0 else _shl16(a[0], -sh)
+    for i in range(lg):
+        s = _lmult(a0, int(x[xoff + i]))
+        for k in range(1, m + 1):
+            s = int(sat32(s - _lmult(int(y[yoff + i - k]), a[k])))
+        y[yoff + i] = _round16(int(L_shl(s, q)))
+
+
+def tdc_conceal_core(st, cfg, pitch_int, nb_lost_in_row, overlap):
+    """processTimeDomainConcealment_Apply_fx (plc_tdc_main_fx.c:66-520).
+    Returns (synth Word16[frame+overlap], Q_syn)."""
+    frame_length = cfg.frame_length
+    frame_dms = cfg.frame_dms
+    fs_idx = cfg.fs_idx
+    lpc_order = 16
+    preemph = int(T.t("fx_plc_preemph_fac")[fs_idx])
+    A = st.tdc_A
+    L = frame_length
+    length = L + overlap
+    nb_loc = nb_lost_in_row
+    next_inc = before_next = 1
+    if frame_dms == 25:
+        nb_loc = (nb_lost_in_row + 3) >> 2
+        next_inc = int((nb_lost_in_row & 3) == 1)
+        before_next = int((nb_lost_in_row & 3) == 0)
+    elif frame_dms == 50:
+        nb_loc = (nb_lost_in_row + 1) >> 1
+        next_inc = int((nb_lost_in_row & 1) == 1)
+        before_next = int((nb_lost_in_row & 1) == 0)
+    if nb_loc > PLC_FADEOUT_IN_MS // 10:
+        st.tdc_gain_c = 0
+        st.damping = 0
+        return np.zeros(length, I64), 0
+
+    L2 = L >> 1
+    Tc = pitch_int + (1 if st.tdc_fract > 0 else 0)
+    len_pi_lf_2 = Tc + L2
+    mlen = st.max_len_pcm
+    q_exc = 0
+    exc_hist = np.zeros(len_pi_lf_2, I64)    # exc_fx[-len_pi_lf_2 .. -1]
+    x_pre = None
+    if nb_lost_in_row == 1:
+        cnt = len_pi_lf_2 + lpc_order + 1
+        x_pre = [int(v) for v in st.x_old_tot[mlen - cnt:]]
+        q_exc = _tdc_preemph(x_pre, 1, preemph, cnt - 1)
+        st.tdc_synth_mem = [int(v) for v in x_pre[len_pi_lf_2 + 1:
+                                                  len_pi_lf_2 + 1 + lpc_order]]
+        _tdc_residu(A, x_pre, lpc_order + 1, exc_hist, 0, len_pi_lf_2,
+                    lpc_order)
+        st.tdc_exc_hist = exc_hist
+    else:
+        exc_hist = st.tdc_exc_hist
+
+    if nb_lost_in_row == 1:
+        if pitch_int == Tc:
+            gain_p = _round16(int(L_shl(
+                _tdc_calc_gainp(x_pre, lpc_order + Tc + 1, x_pre,
+                                lpc_order + 1, L2), 15)))
+        else:
+            t32 = _tdc_calc_gainp(x_pre, lpc_order + Tc + 1, x_pre,
+                                  lpc_order + 2, L2)
+            t32_2 = _tdc_calc_gainp(x_pre, lpc_order + Tc + 1, x_pre,
+                                    lpc_order + 1, L2)
+            if t32 > t32_2:
+                Tc = pitch_int
+                gain_p = _round16(int(L_shl(t32, 15)))
+                st.tdc_fract = 0
+            else:
+                gain_p = _round16(int(L_shl(t32_2, 15)))
+        if gain_p < 0:
+            gain_p = 0
+        if pitch_int == Tc:
+            gain_c32 = _tdc_calc_gainc(exc_hist, len_pi_lf_2, q_exc, Tc, L2,
+                                       frame_dms, gain_p)
+        else:
+            ta = _tdc_calc_gainc(exc_hist, len_pi_lf_2, q_exc, pitch_int, L2,
+                                 frame_dms, gain_p)
+            gain_c32 = _tdc_calc_gainc(exc_hist, len_pi_lf_2, q_exc, Tc, L2,
+                                       frame_dms, gain_p)
+            gain_c32 = min(gain_c32, ta)
+    else:
+        gain_c32 = st.tdc_gain_c
+        gain_p = st.damping
+
+    alpha_prev = 0x7FFF
+    if nb_lost_in_row > 1:
+        alpha_prev = st.damping
+    alpha = st.damping
+    if next_inc:
+        if nb_loc == 1:
+            if gain_p > 31470:
+                alpha = 0x7D71
+            elif gain_p < 28037:
+                alpha = 0x7666
+            else:
+                m, e = sqrt16(gain_p, 0)
+                alpha = _shl16(m, e)
+        else:
+            c1, c2 = (0x50A4, 0x2CCD) if nb_loc == 2 else (0x5375, 0x29FC)
+            alpha = _mult_r(st.stab_fac, c2)
+            alpha = _add16(alpha, c1)
+            alpha = (gain_p * alpha) >> 15
+            if nb_loc == 2:
+                if alpha < 0x75A2:
+                    alpha = 0x75A2
+            elif nb_loc > 5:
+                gain_p = alpha
+    if nb_loc > 3:
+        alpha = (alpha * PLC34_ATTEN[frame_dms]) >> 15
+    if nb_loc > 5:
+        gain_p = alpha
+    st.damping = alpha
+
+    # harmonic part
+    s_min_ = min(length, Tc)
+    if nb_lost_in_row == 1:
+        st.harmonic_q = q_exc
+        if st.stab_fac >= 32767:
+            st.harmonic_buf = exc_hist[len_pi_lf_2 - Tc:
+                                       len_pi_lf_2].copy()
+        else:
+            ext = np.concatenate([exc_hist,
+                                  exc_hist[len_pi_lf_2 - Tc:
+                                           len_pi_lf_2 - Tc + 5]])
+            harm = T.t("fx_TDC_high_32_harm" if fs_idx > 1
+                       else "fx_TDC_high_16_harm")
+            hb = np.zeros(Tc, I64)
+            base = len_pi_lf_2 - Tc
+            for i in range(Tc):
+                hb[i] = _tdc_dot16(ext, base + i - 5, harm, TDC_L_FIR_HP)
+            st.harmonic_buf = hb
+    else:
+        q_exc = st.harmonic_q
+
+    # random part
+    seed = st.tdc_seed
+    exc2 = [0] * (length + TDC_L_FIR_HP - 1)
+    for i in range(length + TDC_L_FIR_HP - 1):
+        seed = _extract_l(lmac0(16831, seed, 12821))
+        exc2[i] = seed
+    st.tdc_seed = seed
+    hp = T.t("fx_TDC_high_32" if fs_idx > 1 else "fx_TDC_high_16")
+    if nb_lost_in_row == 1:
+        out2 = [0] * len(exc2)
+        for i in range(length):
+            out2[i] = _round16(int(sat32(_tdc_ldot(exc2, i, hp,
+                                                   TDC_L_FIR_HP) - 1)))
+        exc2[:length] = out2[:length]
+    else:
+        throttle = div_s(nb_loc, nb_loc + PLC3_HPBLENDTHROTTLE)
+        blend = ((0x7FFF - alpha) * throttle) >> 15
+        c1 = int(sat16(0x7FFF - blend))
+        out2 = list(exc2)
+        for i in range(length):
+            t32 = int(mpy_32_16(_tdc_ldot(exc2, i, hp, TDC_L_FIR_HP), c1))
+            out2[i] = _round16(lmac0(t32, blend, int(exc2[i + 5])))
+        exc2 = out2
+
+    # normalize energy (TDC_normalize_energy_fx)
+    tmp = 0
+    for i in range(frame_length):
+        t16 = _mult_r(int(exc2[i]), 2048)
+        tmp = _lmac(tmp, t16, t16)
+    e = int(norm_l(tmp)) if tmp != 0 else 31
+    tmp = int(sat32(tmp << e))
+    e1 = (30 - e) + 8
+    t16, e2 = divide3216(tmp, frame_length)
+    e = 0
+    if t16 != 0:
+        e = (e1 + e2) - 15
+    c = 0x0148
+    if e > 0:
+        c >>= min(e, 15)
+    else:
+        t16 >>= min(-e, 15)
+        e = 0
+    e2 = 1 if (e & 1) else 2
+    t16 = int(sat16((t16 >> e2) + (c >> e2)))
+    e += e2
+    t16, e = sqrt16(t16, e)
+    gain_inov, e1 = divide1616(0x7FFF, t16)
+    gain_inov_exp = e1 - e
+
+    t32 = int(mpy_32_16(int(sat32(
+        590558016 - int(mpy_32_16(int(sat32(gain_p << 16)) >> 2, 24576)))),
+        gain_inov))
+    s = int(norm_l(t32)) if t32 != 0 else 31
+    t32 = int(sat32(t32 << s))
+    t32 = min(t32, 0x7FFEFFFF)
+    gain_inov_exp = (gain_inov_exp - s) + 2
+    gain_inov = _round16(t32)
+
+    gain_h = alpha_prev
+    ilen, ilen_exp = divide1616(1, frame_length)
+    step = _round16(int(L_shl(_lmult(int(sat16(gain_h - alpha)), ilen),
+                              ilen_exp)))
+    s = int(norm_l(gain_c32)) if gain_c32 != 0 else 31
+    t32 = int(sat32(gain_c32 << s))
+    gain_c16 = _extract_h(t32)
+    gain_c16_exp = 15 - s
+    gainc_tmp = _lmult(gain_c16, div_s(alpha, alpha_prev))
+    t32 = int(sat32(t32 - gainc_tmp))
+    step_n = _round16(int(L_shl(int(mpy_32_16(t32, ilen)), ilen_exp)))
+
+    # total excitation
+    harm_ptr = ((nb_lost_in_row - 1) * frame_length) % Tc
+    s1 = q_exc + gain_inov_exp + gain_c16_exp
+    g = _mult_r(gain_c16, gain_inov)
+    exc_cur = np.zeros(length, I64)
+    hb = st.harmonic_buf
+    for i in range(length):
+        if harm_ptr >= Tc:
+            harm_ptr = 0
+        v = int(hb[harm_ptr])
+        harm_ptr += 1
+        t32 = _lmult(v, gain_h)
+        t32_2 = int(L_shl(_lmult(int(exc2[i]), g), s1))
+        exc_cur[i] = _round16(int(sat32(t32 + t32_2)))
+        gain_h = max(gain_h - step, 0)
+        gain_c16 = max(gain_c16 - step_n, 0)
+        g = _mult_r(gain_c16, gain_inov)
+
+    st.tdc_gain_c = int(L_shl(gainc_tmp, gain_c16_exp - 15))
+
+    # synthesis
+    q_syn = max(q_exc - 2, -3)
+    exp_scale = q_syn - (q_exc - 1)
+    if nb_lost_in_row != 1:
+        mem = st.synth_hist
+    else:
+        mem = st.tdc_synth_mem
+    synth_tmp = [0] * (lpc_order + length)
+    # Copy_Scale_sig (basop_util.c:597-630): ROUNDED shift for exp<0
+    mem_scaled = _scale_sig(np.asarray(mem, I64), exp_scale)
+    for i in range(lpc_order):
+        synth_tmp[i] = int(mem_scaled[i])
+    _tdc_synthesis(q_exc - q_syn, A, exc_cur, 0, synth_tmp, lpc_order,
+                   length, lpc_order)
+    sh = [0] * lpc_order
+    for i in range(lpc_order):
+        v = int(synth_tmp[lpc_order + frame_length - lpc_order + i])
+        sh[i] = v >> exp_scale if exp_scale >= 0 else _shl16(v, -exp_scale)
+    st.synth_hist = sh
+
+    # deemphasis
+    mem_de = _shl16(int(st.x_old_tot[mlen - 1]), q_syn)
+    synth = np.zeros(length, I64)
+    prev = mem_de
+    for i in range(length):
+        v = _round16(_lmac(int(sat32(int(synth_tmp[lpc_order + i]) << 16)),
+                           prev, preemph))
+        synth[i] = v
+        prev = v
+
+    # fade to zero
+    if before_next and nb_loc == PLC_FADEOUT_IN_MS // 10:
+        gain_h = 0x7FFF
+        step = _round16(int(L_shl(_lmult(gain_h, ilen), ilen_exp)))
+        for i in range(frame_length):
+            synth[i] = (int(synth[i]) * gain_h) >> 15
+            gain_h = int(sat16(gain_h - step))
+        synth[frame_length:] = 0
+    return synth, q_syn
+
+
+def tdac(synth, synth_exp, win, la_zeroes, frame_len):
+    """processTdac_fx (plc_tdac_fx.c:36-203) -> (ola_mem, ola_mem_exp)."""
+    L = frame_len
+    LD2 = L >> 1
+    NZ = LD2 - la_zeroes
+    inv_norm = int(sat16(-(L << 6)))
+    inv_norm_e = 2
+    if int(norm_s(inv_norm)) > 0:
+        inv_norm = int(sat16(inv_norm << 1))
+        inv_norm_e = 1
+    if L <= 120:
+        inv_norm_e += 2
+    if L <= 20:
+        inv_norm_e += 2
+    synth_len = 2 * L - la_zeroes
+    from .fixed_ltpf import _headroom16
+    arr = np.asarray(synth[:synth_len], I64)
+    s = _headroom16(arr)
+    sy = sat16(np.clip(arr << s, MIN32, MAX32))
+    synth_exp = synth_exp - s
+    w = [int(v) for v in win]
+    ola = np.zeros(L - la_zeroes, I64)
+    i1, i2 = L + LD2 - 1, L + LD2
+    w3, w4 = LD2 - 1, LD2
+    s1, s2 = L + LD2 - 1 - la_zeroes, L + LD2 - la_zeroes
+    o1, o2 = LD2 - la_zeroes, LD2 - la_zeroes - 1
+    smax = 15
+    for _ in range(NZ):
+        sz = _lmac(_lmult(int(sy[s1]), w[i1]), int(sy[s2]), w[i2])
+        ola[o1] = _round16(int(mpy_32_16(sz, w[w3])))
+        ola[o2] = _round16(int(mpy_32_16(sz, w[w4])))
+        if ola[o1] != 0:
+            smax = min(smax, int(norm_s(int(ola[o1]))))
+        if ola[o2] != 0:
+            smax = min(smax, int(norm_s(int(ola[o2]))))
+        i1 -= 1
+        i2 += 1
+        w3 -= 1
+        w4 += 1
+        s1 -= 1
+        s2 += 1
+        o1 += 1
+        o2 -= 1
+    for _ in range(NZ, LD2):
+        sz = _lmult(int(sy[s1]), w[i1])
+        ola[o1] = _round16(int(mpy_32_16(sz, w[w3])))
+        if ola[o1] != 0:
+            smax = min(smax, int(norm_s(int(ola[o1]))))
+        i1 -= 1
+        i2 += 1
+        w3 -= 1
+        s1 -= 1
+        s2 += 1
+        o1 += 1
+    smax = min(smax, 15)
+    for i in range(LD2 + NZ):
+        ola[i] = _round16(_lmult(_shl16(int(ola[i]), smax), inv_norm))
+    return ola, (synth_exp + inv_norm_e) - smax
+
+
+def tdc_conceal(plc, imdct_st, w, cfg, ltpf):
+    """Conceal method 3 top level (plc_apply_fx.c case 3)."""
+    if plc.nb_lost == 1:
+        plc.tdc_fract = ltpf.pitch_fr
+        tdc_lpc_analysis(plc, cfg)
+    overlap = cfg.frame_length - cfg.la_zeroes
+    synth, q_syn = tdc_conceal_core(plc, cfg, ltpf.pitch_int, plc.nb_lost,
+                                    overlap)
+    q_syn = q_syn + (15 - plc.q_fx_old_exp)
+    q_fx_exp = 15 - q_syn
+    ola, ola_exp = tdac(synth, q_fx_exp, w, cfg.la_zeroes, cfg.frame_length)
+    imdct_st.mem = ola
+    imdct_st.mem_e = ola_exp
+    return synth[:cfg.frame_length].copy(), q_fx_exp

@@ -26,7 +26,7 @@ POINTS = [("thetest8", 8000, 32000), ("thetest16", 16000, 32000),
           ("thetest44", 44100, 64000), ("thetest48", 48000, 64000)]
 
 # conceal methods still fed from golden dumps instead of native code
-REPAIR_METHODS = {2, 3}
+REPAIR_METHODS = {2}
 
 
 def fer_pattern(n):
@@ -122,6 +122,14 @@ def test_plc_stateful(rig):
             assert np.array_equal(plc.q_old_d[:yLen], g["qold"][f]), \
                 f"qold frame {f}"
             assert plc.q_old_exp == g["qold_exp"][f], f"qold exp frame {f}"
+        if b == 1 and cm == 3 and cm not in REPAIR_METHODS:
+            assert plc.damping == g["damp"][f], f"damp frame {f}"
+            assert plc.tdc_seed == g["tdcseed"][f], f"tdcseed frame {f}"
+            assert plc.tdc_fract == g["tdcfract"][f], f"tdcfract frame {f}"
+            assert plc.mid_harm_q == g["harmQ"][f], f"harmQ frame {f}"
+            assert plc.mid_gain_c == g["tdcgainc"][f], f"tdcgainc frame {f}"
+            assert plc.tdc_A == [int(v) for v in g["tdcA"][f]], \
+                f"tdcA frame {f}"
 
     pcm = dec.decode_plc(frames, bfi, frame_hook=hook)
     # final WAV compare (only exact once all methods are native)

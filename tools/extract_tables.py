@@ -179,7 +179,22 @@ def extract_basop(tables: dict[str, np.ndarray]) -> None:
             "lpc_warp_dee_emphasis_16_16000", "lpc_warp_dee_emphasis_16_e_16000",
             "lpc_warp_dee_emphasis_16_24000", "lpc_warp_dee_emphasis_16_e_24000",
             "lpc_warp_dee_emphasis_16_32000", "lpc_warp_dee_emphasis_16_e_32000",
-            "lpc_warp_dee_emphasis_16_48000", "lpc_warp_dee_emphasis_16_e_48000"}
+            "lpc_warp_dee_emphasis_16_48000", "lpc_warp_dee_emphasis_16_e_48000",
+            # TD-PLC (plc_tdc_main_fx.c + LPC analysis chain)
+            "TDC_high_16", "TDC_high_32", "TDC_high_16_harm",
+            "TDC_high_32_harm", "lag_win_8k", "lag_win_16k", "lag_win_24k",
+            "lag_win_32k", "lag_win_48k", "plc_preemph_fac",
+            "lpc_lin_pre_emphasis_80_8000", "lpc_lin_pre_emphasis_80_e_8000",
+            "lpc_lin_pre_emphasis_80_16000", "lpc_lin_pre_emphasis_80_e_16000",
+            "lpc_lin_pre_emphasis_80_24000", "lpc_lin_pre_emphasis_80_e_24000",
+            "lpc_lin_pre_emphasis_80_32000", "lpc_lin_pre_emphasis_80_e_32000",
+            "lpc_lin_pre_emphasis_80_48000", "lpc_lin_pre_emphasis_80_e_48000",
+            "inv_odft_twiddle_80_re", "inv_odft_twiddle_80_im",
+            "inv_odft_twiddle_40_re", "inv_odft_twiddle_40_im",
+            "bands_offset_with_one_max_lin", "bands_offset_with_two_max_lin",
+            "bands_offset_with_one_max", "bands_offset_with_two_max",
+            "bands_nrg_scale", "InvIntTable", "RealFFT80_twid",
+            "RealFFT40_twid"}
     for m in ROM_DECL_RE.finditer(text):
         ctype, name = m.group(1), m.group(2)
         if name not in want:
