@@ -527,3 +527,261 @@ def imdct_ola(ytda, y_e, y_s, zero, w, N, wLen, st: ImdctState):
 
 def window_table(N):
     return T.t(_WIN[N])
+
+
+SC16, SC32 = 5, 6
+C161, C162 = C81, C82
+C163, C164 = _w16(0x7641AF3D), _w16(0x89BE50C3)
+C165, C166 = _w16(0x30FBC54D), _w16(0xCF043AB3)
+
+
+def _bfly4(x0, x1, x2, x3, x4, x5, x6, x7):
+    """Radix-4 butterfly used throughout fft16/fft32 (fft.c:1105-1180):
+    inputs are (re0,im0, re1,im1, re2,im2, re3,im3)."""
+    t0, t2 = ladd(x0, x4), lsub(x0, x4)
+    t1, t3 = ladd(x1, x5), lsub(x1, x5)
+    t4, t7 = ladd(x2, x6), lsub(x2, x6)
+    t5, t6 = ladd(x7, x3), lsub(x7, x3)
+    return (ladd(t0, t4), ladd(t1, t5), lsub(t2, t6), lsub(t3, t7),
+            lsub(t0, t4), lsub(t1, t5), ladd(t2, t6), ladd(t3, t7))
+
+
+def fft16(p):
+    """fft16 (fft.c:1085-1395)."""
+    l = [(shr(r, SC16), shr(i, SC16)) for r, i in p]
+    y = [None] * 32
+
+    def blk(i0, i1, i2, i3):
+        a = _bfly4(l[i0][0], l[i0][1], l[i1][0], l[i1][1],
+                   l[i2][0], l[i2][1], l[i3][0], l[i3][1])
+        return list(a)
+
+    y[0:8] = blk(0, 4, 8, 12)
+    y[8:16] = blk(1, 5, 9, 13)
+    b = blk(2, 6, 10, 14)
+    # third block: y20/y21 carry the -j rotation (fft.c:1169-1171)
+    y[16:24] = [b[0], b[1], b[2], b[3], None, None, b[6], b[7]]
+    t1t5 = lsub(ladd(l[2][1], l[10][1]), ladd(l[6][1], l[14][1]))
+    t4t0 = lsub(ladd(l[6][0], l[14][0]), ladd(l[2][0], l[10][0]))
+    y[20], y[21] = t1t5, t4t0
+    y[24:32] = blk(3, 7, 11, 15)
+
+    def rot2(a, b_, c):
+        x0, x1 = m16(a, c), m16(b_, c)
+        return lsub(x0, x1), ladd(x0, x1)
+
+    y[22], y[23] = rot2(y[22], y[23], C162)
+    y[28], y[29] = rot2(y[28], y[29], C162)
+    x0, x1 = m16(y[12], C161), m16(y[13], C161)
+    y[12], y[13] = ladd(x0, x1), lsub(x1, x0)
+    x0, x1 = m16(y[18], C161), m16(y[19], C161)
+    y[18], y[19] = ladd(x0, x1), lsub(x1, x0)
+
+    def rot4(a, b_, c1, c2):
+        x0, x1 = m16(a, c1), m16(b_, c2)
+        x2, x3 = m16(a, c2), m16(b_, c1)
+        return lsub(x0, x1), ladd(x2, x3)
+
+    y[10], y[11] = rot4(y[10], y[11], C163, C166)
+    y[14], y[15] = rot4(y[14], y[15], C165, C164)
+    y[26], y[27] = rot4(y[26], y[27], C165, C164)
+    y[30], y[31] = rot4(y[30], y[31], C164, C165)
+
+    out = [None] * 16
+    # final radix-4: pairs (a,b) and (c,d) -> _bfly4 arg order (a,c,b,d)
+    for g, (a, b_, c, d) in enumerate([(0, 16, 8, 24), (2, 18, 10, 26),
+                                       (4, 20, 12, 28), (6, 22, 14, 30)]):
+        r = _bfly4(y[a], y[a + 1], y[c], y[c + 1],
+                   y[b_], y[b_ + 1], y[d], y[d + 1])
+        out[g] = (r[0], r[1])
+        out[g + 4] = (r[2], r[3])
+        out[g + 8] = (r[4], r[5])
+        out[g + 12] = (r[6], r[7])
+    return out
+
+
+def fft32(p):
+    """fft32 (fft.c:2600-3208): 4 x radix-8 + twiddles + 8 x radix-4."""
+    l = [(shr(r, SC32 - 1), shr(i, SC32 - 1)) for r, i in p]
+    y = [None] * 128
+    for j in range(4):
+        x = []
+        for k in range(8):
+            r, i = l[j + 4 * k]
+            x += [r, i]
+        res = _bfly8(x, m32, C81_32, C82_32, pre_shift=0)
+        for k in range(8):
+            y[32 * j + 4 * k], y[32 * j + 4 * k + 1] = res[k]
+    # flatten pair layout: y index = 2*(16j + k-slot)
+    z = [None] * 64
+    for j in range(4):
+        for k in range(8):
+            z[16 * j + 2 * k] = y[32 * j + 4 * k]
+            z[16 * j + 2 * k + 1] = y[32 * j + 4 * k + 1]
+    y = z
+    W = T.t("fx_RotVector_32_32")
+    no_tw = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+             16, 17, 32, 33, 48, 49, 40, 41]
+    for idx in no_tw:
+        y[idx] = shr(y[idx], 1)
+    tw_pairs = [18, 20, 22, 24, 26, 28, 30, 34, 36, 38, 42, 44, 46,
+                50, 52, 54, 56, 58, 60, 62]
+    for n, base in enumerate(tw_pairs):
+        a, b = y[base], y[base + 1]
+        c, d = int(W[2 * n]), int(W[2 * n + 1])
+        as_, bs = shr(a, 1), shr(b, 1)
+        y[base] = lsub(m32(as_, c), m32(bs, d))
+        y[base + 1] = ladd(m32(as_, d), m32(bs, c))
+    out = [None] * 32
+    for g in range(8):
+        a, b_, c, d = 2 * g, 2 * g + 32, 2 * g + 16, 2 * g + 48
+        if g == 4:
+            # 5th stage folds the -j twiddle of y40/y41 (fft.c:3028-3035)
+            t0 = ladd(y[8], y[41])
+            t2 = lsub(y[8], y[41])
+            t1 = lsub(y[9], y[40])
+            t3 = ladd(y[9], y[40])
+        else:
+            t0, t2 = ladd(y[a], y[b_]), lsub(y[a], y[b_])
+            t1, t3 = ladd(y[a + 1], y[b_ + 1]), lsub(y[a + 1], y[b_ + 1])
+        t4, t7 = ladd(y[c], y[d]), lsub(y[c], y[d])
+        t5, t6 = ladd(y[d + 1], y[c + 1]), lsub(y[d + 1], y[c + 1])
+        out[g] = (ladd(t0, t4), ladd(t1, t5))
+        out[g + 8] = (lsub(t2, t6), lsub(t3, t7))
+        out[g + 16] = (lsub(t0, t4), lsub(t1, t5))
+        out[g + 24] = (ladd(t2, t6), ladd(t3, t7))
+    return out
+
+
+def _fft12_pairs(y):
+    """fft12 (fft.c:917-1085) on 12 (re, im) pairs; returns 12 pairs."""
+    src = []
+    for r, i in y:
+        src += [r, i]
+    dst = [None] * 24
+
+    def radix3(base, off):
+        r1 = ladd(shr(src[off + 8], 2), shr(src[off + 16], 2))
+        r2 = m16(lsub(shr(src[off + 8], 2), shr(src[off + 16], 2)), C31)
+        pD = shr(src[off], 2)
+        d0 = shr(ladd(pD, r1), 1)
+        r1 = lsub(pD, shr(r1, 1))
+        s1 = ladd(shr(src[off + 9], 2), shr(src[off + 17], 2))
+        s2 = m16(lsub(shr(src[off + 9], 2), shr(src[off + 17], 2)), C31)
+        pD = shr(src[off + 1], 2)
+        d1 = shr(ladd(pD, s1), 1)
+        s1 = lsub(pD, shr(s1, 1))
+        return d0, d1, shr(r1, 1), shr(r2, 1), shr(s1, 1), shr(s2, 1)
+
+    def cplx(a_re, a_im, vre, vim):
+        # cplxMpy_32_16 (basop_mpy.c:38-43)
+        return (lsub(m16(a_re, vre), m16(a_im, vim)),
+                ladd(m16(a_re, vim), m16(a_im, vre)))
+
+    d0, d1, r1, r2, s1, s2 = radix3(0, 0)
+    dst[0], dst[1] = d0, d1
+    dst[2] = lsub(r1, s2)
+    dst[3] = ladd(s1, r2)
+    dst[4] = ladd(r1, s2)
+    dst[5] = lsub(s1, r2)
+    vre, vim = 0x6EDA, 0x4000
+    for i in range(2):
+        off = 2 * (i + 1)
+        base = 6 * (i + 1)
+        d0, d1, r1, r2, s1, s2 = radix3(0, off)
+        dst[base], dst[base + 1] = d0, d1
+        re_ = lsub(r1, s2)
+        im_ = ladd(s1, r2)
+        cr, ci = cplx(im_, re_, vre, vim)
+        dst[base + 3], dst[base + 2] = cr, ci
+        re_ = ladd(r1, s2)
+        im_ = lsub(s1, r2)
+        vre2 = 0x4000 if i == 0 else -0x4000
+        vim2 = 0x6EDA if i == 0 else vim
+        cr, ci = cplx(im_, re_, vre2, vim2)
+        dst[base + 5], dst[base + 4] = cr, ci
+        vre, vim = vre2, vim2
+    off, base = 6, 18
+    d0, d1, r1, r2, s1, s2 = radix3(0, off)
+    dst[base], dst[base + 1] = d0, d1
+    dst[base + 2] = ladd(s1, r2)
+    dst[base + 3] = lsub(s2, r1)
+    dst[base + 4] = lneg(ladd(r1, s2))
+    dst[base + 5] = lsub(r2, s1)
+
+    out = [None] * 24
+    for i in range(3):
+        so = 2 * i
+        r1 = ladd(shr(dst[so], 2), shr(dst[so + 12], 2))
+        r2 = ladd(shr(dst[so + 6], 2), shr(dst[so + 18], 2))
+        s1 = ladd(shr(dst[so + 1], 2), shr(dst[so + 13], 2))
+        s2 = ladd(shr(dst[so + 7], 2), shr(dst[so + 19], 2))
+        out[so] = ladd(r1, r2)
+        out[so + 1] = ladd(s1, s2)
+        re_ = lsub(r1, shr(dst[so + 12], 1))
+        im_ = lsub(s1, shr(dst[so + 13], 1))
+        out[so + 12] = lsub(r1, r2)
+        out[so + 13] = lsub(s1, s2)
+        r2 = lsub(r2, shr(dst[so + 18], 1))
+        s2 = lsub(s2, shr(dst[so + 19], 1))
+        out[so + 6] = ladd(re_, s2)
+        out[so + 18] = lsub(re_, s2)
+        out[so + 7] = lsub(im_, r2)
+        out[so + 19] = ladd(im_, r2)
+    return [(out[2 * j], out[2 * j + 1]) for j in range(12)]
+
+
+def fftN2_12(p, Wname, dim1, sc, Woff):
+    """fftN2, dim2 == 12 (fft.c:3604-3660)."""
+    W = T.t("fx_" + Wname)
+    chunks = [_STAGE1[dim1]([p[i + 12 * j] for j in range(dim1)])
+              for i in range(12)]
+    out = [None] * (12 * dim1)
+    for i in range(dim1):
+        y = []
+        for k in range(12):
+            a, b = chunks[k][i]
+            if k == 0 or i == 0:
+                y.append((a, b))
+            else:
+                c = int(W[sc * i + sc * k * dim1 - Woff])
+                d = int(W[sc * i + sc * k * dim1 + 1 - Woff])
+                # cplxMpy4_12_0 (fft.c:131-139)
+                y.append((lsub(m16(a, c), m16(b, d)),
+                          ladd(m16(a, d), m16(b, c))))
+        res = _fft12_pairs(y)
+        for k in range(12):
+            out[i + dim1 * k] = res[k]
+    return out
+
+
+_STAGE1.update({16: fft16, 32: fft32})
+SCALE.update({64: 7, 128: 8, 192: 10, 256: 9, 384: 11})
+
+
+def _cfft_ext(p, length):
+    if length == 16:
+        return fft16(p), 5
+    if length == 32:
+        return fft32(p), 6
+    if length == 64:
+        return fftN2_8(p, "RotVector_32_8", 8, 8, 64), SCALE[64]
+    if length == 128:
+        return fftN2_8(p, "RotVector_32_8", 16, 4, 64), SCALE[128]
+    if length == 192:
+        return fftN2_12(p, "RotVector_32_12", 16, 4, 64), SCALE[192]
+    if length == 256:
+        return fftN2_8(p, "RotVector_32_8", 32, 2, 64), SCALE[256]
+    if length == 384:
+        return fftN2_12(p, "RotVector_32_12", 32, 2, 64), SCALE[384]
+    return None
+
+
+_cfft_base = cfft
+
+
+def cfft(p, length):
+    ext = _cfft_ext(p, length)
+    if ext is not None:
+        return ext
+    return _cfft_base(p, length)

@@ -194,7 +194,34 @@ def extract_basop(tables: dict[str, np.ndarray]) -> None:
             "bands_offset_with_one_max_lin", "bands_offset_with_two_max_lin",
             "bands_offset_with_one_max", "bands_offset_with_two_max",
             "bands_nrg_scale", "InvIntTable", "RealFFT80_twid",
-            "RealFFT40_twid"}
+            "RealFFT40_twid",
+            # PhECU rfft/cfft sizes (Lprot 128..768) + PhECU tables
+            "RotVector_32_8", "RotVector_32_12", "RotVector_32_32",
+            "RealFFT128_twid", "RealFFT256_twid", "RealFFT384_twid",
+            "RealFFT512_twid", "RealFFT768_twid", "RotVector_360",
+            "sin_quarterQ15_fx", "sincos_lowres_tab_sinQ15_fx",
+            "gwlpr_fx", "gw_len_inv_shift_fx", "oneOverFrameQ15Tab",
+            "xfp_wE_MDCT2FFTQ11", "PhEcu_Xsav_Flt2FxScaleQ15",
+            "PhEcu_Xsav_Flt2FxDnShift", "PhEcu_frac_thr_rise_lin_Q15",
+            "PhEcu_frac_thr_decay_lin_Q15", "InvLprot_Q22", "PhEcuFftScale",
+            "POW_ATT_TABLE0", "POW_ATT_TABLE1", "POW_ATT_TABLE_p3x1_6",
+            "POW_ATT_TABLE_p4x1_6", "POW_ATT_TABLE_p3x2_6",
+            "POW_ATT_TABLE_p4x2_6", "POW_ATT_TABLE_p3x4_6",
+            "POW_ATT_TABLE_p4x4_6", "POW_ATT_TABLE_p3x8_6",
+            "POW_ATT_TABLE_p4x8_6",
+            "PhECU_whr16ms_NB_Q15", "PhECU_whr16ms_WB_Q15",
+            "PhECU_whr16ms_sWB_Q15", "PhECU_whr16ms_SWB_Q15",
+            "PhECU_whr16ms_FB_Q15",
+            "PhECU_preTdaFx16ms_NB_Q14", "PhECU_preTdaFx16ms_WB_Q14",
+            "PhECU_preTdaFx16ms_sWB_Q14", "PhECU_preTdaFx16ms_SWB_Q14",
+            "PhECU_preTdaFx16ms_FB_Q14",
+            "PhECU_preTdaFx16ms_128_pre_Q14", "PhECU_preTdaFx16ms_256_pre_Q14",
+            "PhECU_preTdaFx16ms_384_pre_Q14", "PhECU_preTdaFx16ms_512_pre_Q14",
+            "PhECU_preTdaFx16ms_768_pre_Q14",
+            "w_new_fs_8_LA_0", "w_old_fs_8_LA_0", "w_new_fs_16_LA_0",
+            "w_old_fs_16_LA_0", "w_new_fs_24_LA_0", "w_old_fs_24_LA_0",
+            "w_new_fs_32_LA_0", "w_old_fs_32_LA_0", "w_new_fs_48_LA_0",
+            "w_old_fs_48_LA_0"}
     for m in ROM_DECL_RE.finditer(text):
         ctype, name = m.group(1), m.group(2)
         if name not in want:
