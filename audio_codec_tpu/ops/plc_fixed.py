@@ -585,6 +585,25 @@ class PlcState:
         self.short_flag_prev = 0
         self.old_grp_shape = [GRP_SHAPE_INIT] * MAX_LGW
         self.oold_grp_shape = [GRP_SHAPE_INIT] * MAX_LGW
+        # PhECU state (setup_dec_lc3.c:136-184)
+        self.time_offs = 0
+        self.X_sav = [0] * LPROT[fs_idx]
+        self.X_savQ = 0
+        self.plocs = []
+        self.f0est = []
+        self.Xavg = [0] * MAX_LGW
+        self.mag_chg_1st = [32767] * MAX_LGW
+        self.beta_mute = 16384
+        self.L_oold_wE = LTOT_MIN_MAN
+        self.L_old_wE = LTOT_MIN_MAN
+        self.oold_wE_exp = UNINIT_OOLD
+        self.old_wE_exp = LTOT_INIT_FLAG
+        self.oold_Ltot_exp = UNINIT_OOLD
+        self.old_Ltot_exp = LTOT_INIT_FLAG
+        self.f0hz_ltp_bin = 0
+        self.max_plocs = LPROT[fs_idx] // 4 + 1
+        N = MAX_LEN[fs_idx]
+        self.t_adv = (N + LPROT[fs_idx] + (N >> 2)) >> 1   # PHECU_XFP_LA=0
 
 
 # ================================================================ TD-PLC
@@ -1339,3 +1358,9 @@ def tdc_conceal(plc, imdct_st, w, cfg, ltpf):
     imdct_st.mem = ola
     imdct_st.mem_e = ola_exp
     return synth[:cfg.frame_length].copy(), q_fx_exp
+
+
+def phase_ecu(plc, imdct_st, w, cfg, ltpf):
+    """Conceal method 2 (Phase ECU), delegated to ops/plc_phecu_fixed."""
+    from . import plc_phecu_fixed as ph
+    return ph.phase_ecu(plc, imdct_st, w, cfg, ltpf)

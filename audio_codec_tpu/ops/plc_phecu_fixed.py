@@ -43,6 +43,11 @@ LPROT48K_RED = 640
 COPY_LEN = [16, 32, 48, 64, 96]
 OLA_LEN = [14, 28, 42, 56, 84]
 FHG_SHIFT = 2
+# macro-built tables (constants.c:465-479, 972-977; defines.h:345-349,429-433)
+GWLPR = [1, 12, 20, 36, 68, 132, 196, 260, 324, 388]      # QUOT_LPR_LTR = 4
+GW_LEN_INV_SHIFT = [0, 0, 1, 2, 3, 3, 3, 3, 3]
+ONE_OVER_FRAME_Q15 = [409, 204, 136, 102, 68]             # 32768 // frame
+INV_LPROT_Q22 = [32767, 16384, 10923, 8192, 5461]
 _POW_ATT = ["", "fx_POW_ATT_TABLE1", "fx_POW_ATT_TABLE0",
             "fx_POW_ATT_TABLE_p3x8_6", "fx_POW_ATT_TABLE_p4x8_6",
             "fx_POW_ATT_TABLE_p3x4_6", "fx_POW_ATT_TABLE_p4x4_6",
@@ -161,7 +166,7 @@ def set_f0hz(fs_idx, pitch_int, pitch_fr):
 def trans_burst_ana(st, fs_idx, output_frame, time_offs, Q_spec):
     """trans_burst_ana_fx (plc_phecu_fec_hq_fx.c:190-676).
     Returns (mag_chg[MAX_LGW], alpha, beta)."""
-    one_over = int(T.t("fx_oneOverFrameQ15Tab")[fs_idx])
+    one_over = ONE_OVER_FRAME_Q15[fs_idx]
     Lgw = min(fs_idx + LGW8K, LGW48K)
     burst_len = ((time_offs * one_over + 0x4000) >> 15) + 1
     burst_att_thresh = BURST_ATT_THRESH + 1
@@ -197,7 +202,7 @@ def trans_burst_ana(st, fs_idx, output_frame, time_offs, Q_spec):
         old_exp = oold_exp
         L_oold = max(L_oold, 2)
         L_old = max(L_old, 2)
-        gw_inv = T.t("fx_gw_len_inv_shift_fx")
+        gw_inv = GW_LEN_INV_SHIFT
         thr_rise = T.t("fx_PhEcu_frac_thr_rise_lin_Q15")
         thr_decay = T.t("fx_PhEcu_frac_thr_decay_lin_Q15")
         xs_scale = int(T.t("fx_PhEcu_Xsav_Flt2FxScaleQ15")[fs_idx])
@@ -412,8 +417,7 @@ def peak_locator(inp, inp_len, sens, inp_high, inp_low):
     prev_delta = inp[1] - inp[0]
     for n in range(1, ilm1):
         curr_delta = inp[n + 1] - inp[n]
-        if (prev_delta ^ curr_delta) < 0 if False else (
-                (prev_delta < 0) != (curr_delta < 0)):
+        if (prev_delta < 0) != (curr_delta < 0):   # s_xor sign change
             sc_idx[p] = n
             p += 1
         prev_delta = curr_delta
@@ -744,9 +748,29 @@ def f0_refine_first(plocs, f0est, f0binQ7, f0gainQ15, n_subm):
     return f0est
 
 
+def xsav_read(st, fs_idx):
+    """X_sav is aliased onto q_old_d + the head of x_old_tot
+    (setup_dec_lc3.c:44-84: PhECU_X_sav_fx = q_old_d_fx, which overflows
+    into the serialized x_old_tot buffer).  Compose the live view."""
+    Lprot = LPROT[fs_idx]
+    qlen = min({0: 80, 1: 160, 2: 240, 3: 320, 4: 400}[fs_idx], Lprot)
+    out = [int(v) for v in st.q_old_d[:qlen]]
+    out += [int(v) for v in st.x_old_tot[: Lprot - qlen]]
+    return out, qlen
+
+
+def xsav_write(st, vals, fs_idx):
+    Lprot = LPROT[fs_idx]
+    qlen = min({0: 80, 1: 160, 2: 240, 3: 320, 4: 400}[fs_idx], Lprot)
+    for i in range(qlen):
+        st.q_old_d[i] = int(vals[i])
+    for i in range(Lprot - qlen):
+        st.x_old_tot[i] = int(vals[qlen + i])
+
+
 def spec_ana(st, xfp, fs_idx, output_frame, f0binQ7, norm_corr):
     """spec_ana_fx (plc_phecu_fec_hq_fx.c:795-1080).  Mutates st: plocs,
-    f0est, X_sav."""
+    f0est, X_sav (aliased, see xsav_write)."""
     Lprot = LPROT[fs_idx]
     hamm2 = 3 * ((output_frame * 3277) >> 15)
     fft_scale = int(T.t("fx_PhEcuFftScale")[fs_idx])
@@ -764,6 +788,7 @@ def spec_ana(st, xfp, fs_idx, output_frame, f0binQ7, norm_corr):
             x[stop_start + i] = 0
     peak_range = min(Lprot2p1, LPROT48K_RED // 2 + 1)
     st.X_sav = list(x)
+    xsav_write(st, x, fs_idx)
     mag = fft_spec2_sqrt_approx(x, Lprot)
     mag = mag[:Lprot2p1]
     xmax = max(mag[:peak_range])
@@ -775,8 +800,7 @@ def spec_ana(st, xfp, fs_idx, output_frame, f0binQ7, norm_corr):
     pi = 0
     if n > 0 and plocs[0] == 0:
         fr = imax(mag[0:3], -1)
-        f0est.append(lmac0(0, 1, fr) if False else
-                     int(sat32((plocs[0] << 16) + 2 * fr)))
+        f0est.append(int(sat32((plocs[0] << 16) + 2 * fr)))
         pi += 1
         n -= 1
     if n > 0 and plocs[pi] == 1:
@@ -792,7 +816,7 @@ def spec_ana(st, xfp, fs_idx, output_frame, f0binQ7, norm_corr):
         for k in range(n_jacob):
             cur = plocs[pi]
             fr = imax2_jacobsen(st.X_sav[cur - 1: cur + 2],
-                                st.X_sav[Lprot - 1 - cur - 1: Lprot - cur + 2])
+                                st.X_sav[Lprot - 1 - cur: Lprot + 2 - cur])
             f0est.append(int(sat32((cur << 16) + 2 * fr)))
             pi += 1
         n -= n_jacob
@@ -876,10 +900,10 @@ def subst_spec(st, X, mag_chg, alpha, beta, is_trans, output_frame, seed,
                t_adv, time_offs, fs_idx):
     """subst_spec_fx (plc_phecu_fec_hq_fx.c:1085-1460).  Mutates X in
     place; returns seed."""
-    gwlpr = T.t("fx_gwlpr_fx")
+    gwlpr = GWLPR
     Lprot = LPROT[fs_idx]
-    Lprot_inv = int(T.t("fx_InvLprot_Q22")[fs_idx])
-    one_over = int(T.t("fx_oneOverFrameQ15Tab")[fs_idx])
+    Lprot_inv = INV_LPROT_Q22[fs_idx]
+    one_over = ONE_OVER_FRAME_Q15[fs_idx]
     tmp2 = ((time_offs * one_over + 0x4000) >> 15) + 1
     corr_phase = []
     num_plocs = len(st.plocs)
@@ -899,13 +923,11 @@ def subst_spec(st, X, mag_chg, alpha, beta, is_trans, output_frame, seed,
         tmp = int(round_fx(tmp_L2))
         for m in range(num_plocs):
             v = int(sat32(int(st.f0est[m]) << up_adj))
-            prod = v * tmp
-            L_acc = (prod >> 16) & ~0 if False else 0
-            mh = int(sat32(prod >> 32)) if False else 0
-            # Mpy_32_16_ss: L_acc = hi32 of (v*tmp*2); lsb = low 16
+            # Mpy_32_16_ss (enh40.c:126-155): hi = sat32((v*tmp*2)>>16),
+            # lsb = low 16 bits of (v*tmp*2)
             full = v * tmp * 2
-            L_acc = int(sat32(full >> 32))
-            lsb = (full >> 16) & 0xFFFF
+            L_acc = int(sat32(full >> 16))
+            lsb = full & 0xFFFF
             L_acc = int(sat32((int(sat32(L_acc << 5))) + (lsb >> 11)))
             corr_phase.append(L_acc)
     one_peak_mask = -1
@@ -1011,3 +1033,196 @@ def subst_spec(st, X, mag_chg, alpha, beta, is_trans, output_frame, seed,
         if i > int(gwlpr[k + 1]):
             k += 1
     return seed
+
+
+# ------------------------------------------------------- reconstruction
+
+def scale_sig_sat(x, exp0):
+    """Scale_sig_sat (plc_phecu_tools_fx.c:27-52): shl_sat up, rounded
+    shift down."""
+    if exp0 == 0:
+        return [int(v) for v in x]
+    if exp0 > 0:
+        return [int(sat16(int(v) << exp0)) for v in x]
+    tmp = -(1 << (15 + max(exp0, -15)))
+    out = []
+    for v in x:
+        out.append(_msu_r(0, int(v), tmp))
+    return out
+
+
+def windowing_ola(x, win, length):
+    """windowing_ola."""
+    return [_mult_r(int(x[i]), int(win[i])) for i in range(length)]
+
+
+def my_wtda(rec_buf, fs_idx, L):
+    """my_wtda_fx (plc_phecu_fec_hq_fx.c:1407-1480): window 20 ms and TDA
+    -> Word32 L_ecu_rec[L]."""
+    w2 = T.t(_W2MS[fs_idx])
+    w16 = T.t(_W16MS[fs_idx])
+    n2 = 2 * L // 10
+    n16 = 2 * L - n2 - (3 * 2 * L) // 16
+    w_audio = [0] * (2 * L)
+    for i in range(n2):
+        w_audio[i] = _lmult(int(rec_buf[i]), int(w2[i]))
+    for i in range(n16):
+        w_audio[n2 + i] = _lmult(int(rec_buf[n2 + i]), int(w16[i]))
+    L2 = L >> 1
+    out = [0] * L
+    p3 = L + L2 - 1
+    p4 = L + L2
+    for i in range(L >> 3):
+        out[i] = int(sat32(-int(sat32(w_audio[p3 - i] + w_audio[p4 + i]))))
+    for i in range(L >> 3, L2):
+        out[i] = int(sat32(-w_audio[p3 - i]))
+    p1 = 0
+    p2 = L - 1
+    for i in range(L2):
+        out[L2 + i] = int(sat32(w_audio[p1 + i] - w_audio[p2 - i]))
+    return out
+
+
+def rec_frame(st, X, fs_idx, output_frame, Q, prevsynth, q_ps_minus1):
+    """rec_frame_fx + rec_wtda_fx (plc_phecu_fec_hq_fx.c:1530-1712):
+    returns L_ecu_rec (Word32 tda, exponent 18 handled by caller)."""
+    Lprot = LPROT[fs_idx]
+    L_x = flipped_to_intlv(X, Lprot)
+    fft_scale = -1
+    L_x, fft_scale = irfftN(L_x, Lprot, fft_scale)
+    x = [(int(L_shl(int(v), fft_scale)) >> 16) for v in L_x]
+    x = [v - 0x10000 if v >= 0x8000 else v for v in
+         [vv & 0xFFFF for vv in x]]
+    x = scale_sig_sat(x, -Q)
+    # rec_wtda
+    Lprot2 = Lprot >> 1
+    l = output_frame - Lprot2
+    rec_buf = [0] * (2 * output_frame)
+    for i in range(Lprot):
+        rec_buf[l + i] = x[i]
+    copy_len = COPY_LEN[fs_idx]
+    ola_len = OLA_LEN[fs_idx]
+    work_len = copy_len + ola_len
+    head = [int(v) for v in prevsynth[Lprot - work_len: Lprot - work_len + copy_len]]
+    head = scale_sig_sat(head, -3 - q_ps_minus1)
+    for i in range(copy_len):
+        rec_buf[i] = head[i]
+    ola_old = windowing_ola(prevsynth[Lprot - ola_len:],
+                            T.t(_W_OLD[fs_idx]), ola_len)
+    ola_old = scale_sig_sat(ola_old, -3 - q_ps_minus1)
+    wnew = windowing_ola(rec_buf[copy_len: copy_len + ola_len],
+                         T.t(_W_NEW[fs_idx]), ola_len)
+    for i in range(ola_len):
+        rec_buf[copy_len + i] = int(sat16(wnew[i] + ola_old[i]))
+    return my_wtda(rec_buf, fs_idx, output_frame)
+
+
+def itda_win_ola(L_x_tda, y_e, w, imdct_st, wLen, N):
+    """Processing_ITDA_WIN_OLA (imdct_fx.c:185-300): PhECU's synthesis
+    window + OLA; mutates imdct_st; returns (x Word16[N], y_e')."""
+    z = 2 * N - wLen
+    m = N >> 1
+    o = m - z
+    memLen = wLen - N
+    factor_itda = [25905, 18318, 22435, 25905, 31727]
+    y = np.asarray(L_x_tda, I64)
+    nz = y != 0
+    y_s = 0 if not nz.any() else int(
+        np.where(nz, norm_l(np.where(nz, y, 1)), 32).min()) & 0x1F
+    y_s -= 1
+    y_e = (y_e + 1) - y_s
+    mem = imdct_st.mem
+    nzm = mem != 0
+    mem_s = int(np.where(nzm, norm_s(np.where(nzm, mem, 1)), 16).min()) \
+        if len(mem) else 16
+    if mem_s < 16:
+        mem_s -= 1
+        imdct_st.mem_e -= mem_s
+    else:
+        imdct_st.mem_e = 0
+    s = imdct_st.mem_e - y_e
+    if s > 0:
+        y_s -= s
+        y_e += s
+    else:
+        mem_s += s
+        imdct_st.mem_e -= s
+    fs_idx = (N * 331) >> 15
+    w_factor = factor_itda[fs_idx]
+    w = np.asarray(w, I64)
+    x = np.empty(wLen, I64)
+    from .fixed_dec import L_shl as _Lshl
+    i = np.arange(o)
+    tw = sat16((w[4 * m - 1 - i - z] * w_factor + 0x4000) >> 15)
+    x[:o] = round_fx(sat32(
+        L_shl(mem[:o] << 16, mem_s)
+        - mpy_32_16(_Lshl(y[m + i + z], y_s), tw)))
+    i = np.arange(m)
+    tw = sat16((w[3 * m - 1 - i] * w_factor + 0x4000) >> 15)
+    x[o:o + m] = round_fx(sat32(
+        L_shl(mem[o:o + m] << 16, mem_s)
+        + mpy_32_16(_Lshl(y[2 * m - 1 - i], y_s), tw)))
+    tw = sat16((w[m - 1 - i] * w_factor + 0x4000) >> 15)
+    x[3 * m - z: 4 * m - z] = round_fx(sat32(-mpy_32_16(
+        _Lshl(y[i], y_s), tw)))
+    tw = sat16((w[m + i] * w_factor + 0x4000) >> 15)
+    x[3 * m - z - 1 - i] = round_fx(sat32(-mpy_32_16(
+        _Lshl(y[i], y_s), tw)))
+    imdct_st.mem = x[N: N + memLen].copy()
+    imdct_st.mem_e = y_e
+    return x[:N].copy(), y_e
+
+
+def hq_phase_ecu(st, prevsynth, prev_bfi, fs_idx, output_frame,
+                 f0binQ7, norm_corr, q_fx_old_exp, margin_prevsynth):
+    """hq_phase_ecu_fx (plc_phecu_fec_hq_fx.c:1714-1963): returns
+    (L_ecu_rec, Q_spec used)."""
+    lprot = LPROT[fs_idx]
+    if prev_bfi == 0:
+        st.time_offs = 0
+        ps_up = margin_prevsynth - 1
+        st.X_savQ = 15 - (q_fx_old_exp - ps_up)
+        q_ps_minus1 = 15 - (q_fx_old_exp + 1)
+        xfp = scale_sig_sat([int(v) for v in prevsynth], ps_up)
+        mag_chg, alpha, beta = trans_burst_ana(st, fs_idx, output_frame,
+                                               st.time_offs, st.X_savQ)
+        spec_ana(st, xfp, fs_idx, output_frame, f0binQ7, norm_corr)
+    else:
+        q_ps_minus1 = 15 - (q_fx_old_exp + 1)
+        st.time_offs = min(st.time_offs + output_frame, 32767)
+        mag_chg, alpha, beta = trans_burst_ana(st, fs_idx, output_frame,
+                                               st.time_offs, 0)
+    X, _ = xsav_read(st, fs_idx)
+    seed = st.time_offs
+    is_trans = [st.short_flag_prev, st.short_flag_prev]
+    subst_spec(st, X, mag_chg, alpha, beta, is_trans, output_frame, seed,
+               st.t_adv, st.time_offs, fs_idx)
+    return rec_frame(st, X, fs_idx, output_frame, st.X_savQ,
+                     prevsynth, q_ps_minus1)
+
+
+def phase_ecu(plc, imdct_st, w, cfg, ltpf):
+    """Conceal method 2 top level (plc_apply_fx.c case 2)."""
+    fs_idx = cfg.fs_idx
+    lprot = LPROT[fs_idx]
+    mlen = plc.max_len_pcm
+    prev_bfi = 0 if plc.prev_bfi == 2 else plc.prev_bfi
+    if prev_bfi == 0:
+        plc.f0hz_ltp_bin = set_f0hz(fs_idx, ltpf.pitch_int, ltpf.pitch_fr)
+        rect = int(T.t("fx_rectLengthTab")[fs_idx])
+        nfr = LPROT[fs_idx]
+        left = plc.x_old_tot[mlen - (nfr + rect): mlen - rect] if False \
+            else plc.x_old_tot[mlen - (nfr + rect):]
+        # left window: 16+16 ms separated by 10 ms (plc_apply_fx.c:119-131)
+        update_xfp_w_e_hist(plc, 0, 0,
+                            plc.x_old_tot[mlen - (nfr + rect):],
+                            plc.q_fx_old_exp, 0, fs_idx)
+        update_xfp_w_e_hist(plc, 0, 0, plc.x_old_tot[mlen - lprot:],
+                            plc.xfp_exp, plc.margin_xfp, fs_idx)
+    prevsynth = plc.x_old_tot[mlen - lprot:]
+    L_ecu = hq_phase_ecu(plc, prevsynth, prev_bfi, fs_idx,
+                         cfg.frame_length, plc.f0hz_ltp_bin,
+                         plc.norm_corr, plc.q_fx_old_exp, plc.margin_xfp)
+    y_e = 18
+    x, y_e = itda_win_ola(L_ecu, y_e, w, imdct_st, len(w), cfg.frame_length)
+    return x, y_e

@@ -200,10 +200,9 @@ def extract_basop(tables: dict[str, np.ndarray]) -> None:
             "RealFFT128_twid", "RealFFT256_twid", "RealFFT384_twid",
             "RealFFT512_twid", "RealFFT768_twid", "RotVector_360",
             "sin_quarterQ15_fx", "sincos_lowres_tab_sinQ15_fx",
-            "gwlpr_fx", "gw_len_inv_shift_fx", "oneOverFrameQ15Tab",
             "xfp_wE_MDCT2FFTQ11", "PhEcu_Xsav_Flt2FxScaleQ15",
             "PhEcu_Xsav_Flt2FxDnShift", "PhEcu_frac_thr_rise_lin_Q15",
-            "PhEcu_frac_thr_decay_lin_Q15", "InvLprot_Q22", "PhEcuFftScale",
+            "PhEcu_frac_thr_decay_lin_Q15", "PhEcuFftScale",
             "POW_ATT_TABLE0", "POW_ATT_TABLE1", "POW_ATT_TABLE_p3x1_6",
             "POW_ATT_TABLE_p4x1_6", "POW_ATT_TABLE_p3x2_6",
             "POW_ATT_TABLE_p4x2_6", "POW_ATT_TABLE_p3x4_6",

@@ -162,11 +162,13 @@ FX_DEC_INSERTS = [
      'lc3_dump_i16("fxd_intscf_exp", int_scf_fx_exp, decoder->bands_number);\n'
      '}\n'),
     ('    BASOP_sub_start("PLC::Main");',
+     'lc3_dump_i16("dbg_xh_premain", h_DecSetup->plcAd->x_old_tot_fx, 96);\n'
      'if (bfi == 0) {\n'
      'lc3_dump_i32("fxd_spec_shaped", q_d_fx, decoder->yLen);\n'
      'lc3_dump_i16("fxd_exp_shaped", &q_fx_exp, 1);\n'
      '}\n'),
     ('    BASOP_sub_start("PLC/PC::DampingScrambling");',
+     'lc3_dump_i16("dbg_xh_postmain", h_DecSetup->plcAd->x_old_tot_fx, 96);\n'
      'lc3_dump_i16("fxd_bfi", &bfi, 1);\n'
      'lc3_dump_i16("fxd_cm", &h_DecSetup->concealMethod, 1);\n'
      'lc3_dump_i16("fxd_ncorr", &h_DecSetup->plcAd->norm_corrQ15_fx, 1);\n'
@@ -186,6 +188,7 @@ FX_DEC_INSERTS = [
      'lc3_dump_i32("fxd_tdcgainc", &h_DecSetup->plcAd->tdc_gain_c, 1);\n'
      'lc3_dump_i16("fxd_tdcA", h_DecSetup->plcAd->tdc_A, 17);\n'),
     ('    BASOP_sub_start("PLC::Update");',
+     'lc3_dump_i16("fxd_xold_pre", h_DecSetup->plcAd->x_old_tot_fx, h_DecSetup->plcAd->max_len_pcm_plc);\n'
      'lc3_dump_i16("fxd_x_all", x_fx, decoder->frame_length);\n'
      'lc3_dump_i16("fxd_exp_xall", &q_fx_exp, 1);\n'
      'lc3_dump_i16("fxd_ola", h_DecSetup->stDec_ola_mem_fx, decoder->stDec_ola_mem_fx_len);\n'
@@ -208,6 +211,29 @@ FX_DEC_INSERTS = [
      'lc3_dump_i16("fxd_ltpf", x_fx, decoder->frame_length);\n'
      'lc3_dump_i16("fxd_exp_ltpf", &q_fx_exp, 1);\n'
      '}\n'),
+]
+
+
+# PhECU internals (plc_apply_fx.c case 2), for ops/plc_phecu_fixed.py
+FX_PLC_APPLY_INSERTS = [
+    ('            y_e = 18;  move16();',
+     'lc3_dump_i32("ph_Lecu", L_ecu_rec, frame_length);\n'
+     'lc3_dump_i16("ph_XsavQ", &plcAd->PhECU_X_savQ_fx, 1);\n'
+     'lc3_dump_i16("ph_nplocs", &plcAd->PhECU_num_plocs, 1);\n'
+     'lc3_dump_i16("ph_plocs", plcAd->PhECU_plocs, 20);\n'
+     'lc3_dump_i32("ph_f0est", plcAd->PhECU_f0est, 20);\n'
+     'lc3_dump_i16("ph_toffs", &plcAd->PhECU_time_offs, 1);\n'
+     'lc3_dump_i16("ph_f0bin", &plcAd->PhECU_f0hzLtpBinQ7, 1);\n'
+     'lc3_dump_i16("ph_magchg1", plcAd->PhECU_mag_chg_1st, 9);\n'
+     'lc3_dump_i16("ph_Xavg", plcAd->PhECU_Xavg, 9);\n'
+     'lc3_dump_i16("ph_betamute", &plcAd->PhECU_beta_mute, 1);\n'
+     'lc3_dump_i16("ph_Xsav", plcAd->PhECU_X_sav_fx, LprotSzPtr[fs_idx]);\n'
+     'lc3_dump_i32("ph_LoldE", &plcAd->PhECU_L_old_xfp_w_E_fx, 1);\n'
+     'lc3_dump_i32("ph_LooldE", &plcAd->PhECU_L_oold_xfp_w_E_fx, 1);\n'
+     'lc3_dump_i16("ph_oldEexp", &plcAd->PhECU_old_xfp_w_E_exp_fx, 1);\n'
+     'lc3_dump_i16("ph_ooldEexp", &plcAd->PhECU_oold_xfp_w_E_exp_fx, 1);\n'
+     'lc3_dump_i16("ph_oldLtot", &plcAd->PhECU_old_Ltot_exp_fx, 1);\n'
+     'lc3_dump_i16("ph_ooldLtot", &plcAd->PhECU_oold_Ltot_exp_fx, 1);\n'),
 ]
 
 
@@ -235,6 +261,8 @@ def main() -> None:
     instrument(FL / "enc_lc3_fl.c", ENC_INSERTS, ENC_APPEND_AFTER)
     instrument(FL / "dec_lc3_fl.c", DEC_INSERTS)
     instrument(FX / "dec_lc3.c", FX_DEC_INSERTS)
+    shutil.copy(REPO / "tools/oracle_dump/lc3_dump.h", FX / "lc3_dump.h")
+    instrument(FX / "plc_apply_fx.c", FX_PLC_APPLY_INSERTS)
     subprocess.run(["make", "-C", str(FL), "-j8", "OPTIM=2"], check=True,
                    capture_output=True)
     subprocess.run(["make", "-C", str(FX), "-j8", "OPTIM=2"], check=True,
