@@ -34,7 +34,7 @@ def fer_pattern(n):
     return np.resize(pat, n)
 
 
-@pytest.fixture(scope="module", params=POINTS[1:2], ids=["thetest16"])
+@pytest.fixture(scope="module", params=POINTS, ids=[p[0] for p in POINTS])
 def rig(request):
     wav, fs, br = request.param
     cfg = Config(fs_in=fs, bitrate=br)
