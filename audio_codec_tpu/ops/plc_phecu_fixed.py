@@ -937,7 +937,7 @@ def subst_spec(st, X, mag_chg, alpha, beta, is_trans, output_frame, seed,
     if num_plocs == 0:
         X[0] = 0
         X[Lprot >> 1] = 0
-    if tmp2 > BURST_ATT_THRESH + 2:
+    if tmp2 > BURST_ATT_THRESH + 1:
         X[0] = int(sat16((alpha[0] * X[0]) >> 15))
         X[Lprot >> 1] = int(sat16(
             (alpha[min(fs_idx + LGW8K, LGW48K)] * X[Lprot >> 1]) >> 15))

@@ -233,7 +233,10 @@ FX_PLC_APPLY_INSERTS = [
      'lc3_dump_i16("ph_oldEexp", &plcAd->PhECU_old_xfp_w_E_exp_fx, 1);\n'
      'lc3_dump_i16("ph_ooldEexp", &plcAd->PhECU_oold_xfp_w_E_exp_fx, 1);\n'
      'lc3_dump_i16("ph_oldLtot", &plcAd->PhECU_old_Ltot_exp_fx, 1);\n'
-     'lc3_dump_i16("ph_ooldLtot", &plcAd->PhECU_oold_Ltot_exp_fx, 1);\n'),
+     'lc3_dump_i16("ph_ooldLtot", &plcAd->PhECU_oold_Ltot_exp_fx, 1);\n'
+     'lc3_dump_i16("ph_magchg", dbg_mag_chg_gr, 9);\n'
+     'lc3_dump_i16("ph_seedout", &dbg_seed_out, 1);\n'
+     'lc3_dump_i16("ph_Xout", dbg_X_out, LprotSzPtr[fs_idx]);\n'),
 ]
 
 
@@ -262,6 +265,29 @@ def main() -> None:
     instrument(FL / "dec_lc3_fl.c", DEC_INSERTS)
     instrument(FX / "dec_lc3.c", FX_DEC_INSERTS)
     shutil.copy(REPO / "tools/oracle_dump/lc3_dump.h", FX / "lc3_dump.h")
+    pa = FX / "plc_apply_fx.c"
+    txt = pa.read_text()
+    if "dbg_mag_chg_gr" not in txt:
+        txt = txt.replace(
+            "    band_offsets = NULL;",
+            "    band_offsets = NULL;\n"
+            "    { static Word16 dbg_pad; dbg_pad = 0; (void)dbg_pad; }")
+        txt = txt.replace(
+            "NULL,                      /*  o: dbg per band magnitude modifier, incl. burst attenuation   */",
+            "dbg_mag_chg_gr,")
+        txt = txt.replace(
+            "NULL ,                      /*  o  :  seed synch dbg                          */",
+            "&dbg_seed_out,")
+        txt = txt.replace(
+            "NULL ,                      /*  o  :  evolved Spectrum   dbg                  */",
+            "dbg_X_out,")
+        txt = txt.replace(
+            '#include "functions.h"',
+            '#include "functions.h"\n'
+            'static Word16 dbg_mag_chg_gr[MAX_LGW];\n'
+            'static Word16 dbg_seed_out;\n'
+            'static Word16 dbg_X_out[MAX_LPROT];\n', 1)
+        pa.write_text(txt)
     instrument(FX / "plc_apply_fx.c", FX_PLC_APPLY_INSERTS)
     subprocess.run(["make", "-C", str(FL), "-j8", "OPTIM=2"], check=True,
                    capture_output=True)
