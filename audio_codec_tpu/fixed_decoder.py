@@ -26,6 +26,10 @@ from .ops import fixed_ltpf as fl
 I64 = np.int64
 
 
+class _BerError(Exception):
+    """Bit-error detected mid-parse (SNS MPVQ index out of range)."""
+
+
 def _frontend(cfg: Config, frames_u8: np.ndarray):
     """Side-info parse + arithmetic decode for [n_frames, nbytes] frames
     (all integer outputs, exact)."""
@@ -74,7 +78,8 @@ class FixedDecoder:
         scf_q)."""
         cfg = self.cfg
         scf_q, ber = fd.sns_decode_scf(side["scf_idx"][f])
-        assert ber == 0
+        if ber:
+            raise _BerError
         x, x_e = fd.ari_scaling(dec["x"][f])
         x = fd.residual_decode(x, x_e, dec["res_bits"][f],
                                int(dec["n_res"][f]))
@@ -112,11 +117,19 @@ class FixedDecoder:
             scf_q = None
             if b != 1:
                 k = gmap[f]
-                assert not side["bfi"][k] and not dec["bfi"][k]
-                q_d, q_exp, scf_q = self._spectral_chain(side, dec, k)
-                q_d = np.concatenate([q_d, np.zeros(N - yLen, I64)])
-                lp = side["ltpf_param"][k]
-            else:
+                # BER detected by the side parser / range decoder conceals
+                # the frame (dec_entropy.c -> bfi, dec_lc3.c:120-160)
+                if side["bfi"][k] or dec["bfi"][k]:
+                    b = 1
+            if b != 1:
+                try:
+                    q_d, q_exp, scf_q = self._spectral_chain(side, dec, k)
+                except _BerError:
+                    b = 1
+                else:
+                    q_d = np.concatenate([q_d, np.zeros(N - yLen, I64)])
+                    lp = side["ltpf_param"][k]
+            if b == 1:
                 q_d, q_exp = np.zeros(N, I64), 0
                 lp = np.zeros(3, np.int64)
             pf.stab_fac_main(plc, scf_q, b)

@@ -15,7 +15,7 @@ verified bit-exact per stage against the instrumented fixed-point oracle
 Word32 spectrum q_d_fx and its block exponent q_fx_exp are carried
 exactly as in the C. The remaining stages toward the full MD5 gate — the
 fixed IMDCT (dct4_fx over BASOP_cfft) and the fixed LTPF — are the
-documented frontier.
+ops/fixed_imdct.py, ops/fixed_ltpf.py and the PLC modules complete the chain.
 
 Pure NumPy int64 (values constrained to 16/32-bit ranges): this is the
 conformance-mode path, not the TPU serving path; the float chain in

@@ -25,8 +25,10 @@ def main() -> None:
 
     cfg = Config(fs_in=48000, bitrate=64000)
     dev = jax.devices()[0]
-    B = int(__import__("os").environ.get("BENCH_STREAMS", "1024"))
-    T = int(__import__("os").environ.get("BENCH_FRAMES", "16"))
+    # dispatch-amortized defaults (docs/PERF.md: small batches measure
+    # dispatch latency, not codec throughput)
+    B = int(__import__("os").environ.get("BENCH_STREAMS", "2048"))
+    T = int(__import__("os").environ.get("BENCH_FRAMES", "32"))
 
     @jax.jit
     def block(st, pcm_block):
@@ -55,11 +57,35 @@ def main() -> None:
 
     frames_per_s = n_iter * T * B / dt
     streams_realtime = frames_per_s / 100.0  # 100 frames/s per 10 ms stream
+
+    # decode-side throughput on the encoder's own bitstream
+    from audio_codec_tpu.models import decoder
+    dst = S.dec_state_init(cfg, B)
+    dst = jax.device_put(dst, dev)
+
+    @jax.jit
+    def dblock(st, frames):
+        def body(st, buf):
+            st, pcm, _ = decoder.decode_frame(cfg, st, buf)
+            return st, pcm
+        return jax.lax.scan(body, st, frames)
+
+    frames_in = out.astype(jnp.int32)
+    dst2, pcm_out = dblock(dst, frames_in)
+    jax.block_until_ready(pcm_out)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        dst, pcm_out = dblock(dst, frames_in)
+    jax.block_until_ready(pcm_out)
+    ddt = time.perf_counter() - t0
+    dec_streams = n_iter * T * B / ddt / 100.0
+
     print(json.dumps({
         "metric": "realtime_48k_encode_streams_per_chip",
         "value": round(streams_realtime, 1),
         "unit": "streams",
         "vs_baseline": round(streams_realtime / 8.0, 2),
+        "decode_streams_per_chip": round(dec_streams, 1),
     }))
 
 

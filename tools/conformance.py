@@ -58,6 +58,11 @@ QUALITY_POINTS = [
     ("thetest48", 48000, 128000, 100),
     ("thetest16", 16000, 32000, 50),
     ("thetest48", 48000, 128000, 50),
+    # round-4 additions (VERDICT): 44.1 kHz, 2.5 ms, HR mode, 96 kHz
+    ("thetest44", 44100, 64000, 100),
+    ("thetest48", 48000, 128000, 25),
+    ("thetest48hr", 48000, 256000, 100),
+    ("thetest96hr", 96000, 320000, 100),
 ]
 # sampling rate -> (band widths, frame bytes) (lc3_conformance.py:83-88)
 BAND_LIMITS = {48000: ([4000, 8000, 12000, 16000], 115),
@@ -139,8 +144,16 @@ class Env:
         """Trimmed (and optionally lowpassed / stereo-ized) test item."""
         from audio_codec_tpu.utils import wavio
         name = {8000: "thetest8", 16000: "thetest16", 24000: "thetest24",
-                32000: "thetest32", 44100: "thetest44", 48000: "thetest48"}[fs]
+                32000: "thetest32", 44100: "thetest44", 48000: "thetest48",
+                96000: "thetest48"}[fs]
         pcm, _ = wavio.read_wav(self.testvec / f"{name}.wav")
+        if fs == 96000:
+            # 2x linear upsample of the 48 kHz item for the HR points
+            x48 = pcm[:, 0].astype(np.float64)
+            up = np.empty(2 * len(x48))
+            up[0::2] = x48
+            up[1::2] = np.concatenate([(x48[:-1] + x48[1:]) / 2, x48[-1:]])
+            pcm = np.clip(up, -32768, 32767).astype(np.int16)[:, None]
         fl = int(fs * frame_dms / 10000 + 0.5) if fs != 44100 else \
             int(48000 * frame_dms / 10000 + 0.5)
         nf = min(n_frames or self.frames, len(pcm) // fl)
@@ -209,7 +222,8 @@ def _bin_io(env: Env):
 def run_modes(env: Env, tag: str, fs: int, bitrate: int, frame_dms=100,
               bandwidth=None, swf=None, bwf=None, epmode=0, metric="rms",
               modes=("encode", "encdec", "decode"), channels=1,
-              corrupt=None, epf=None, exe=None, lowpass=0) -> dict:
+              corrupt=None, epf=None, exe=None, lowpass=0,
+              hrmode=False, keep_wavs=False) -> dict:
     """One operating point through the requested modes; returns row dict.
 
     corrupt: (flips, frame_pct) applied to the encoded stream before both
@@ -221,6 +235,8 @@ def run_modes(env: Env, tag: str, fs: int, bitrate: int, frame_dms=100,
     src = env.input_wav(fs, channels=channels, frame_dms=frame_dms,
                         lowpass=lowpass)
     common = []
+    if hrmode:
+        common += ["-hrmode"]
     if frame_dms != 100:
         common += ["-frame_ms", frame_dms / 10]
     if bandwidth is not None:
@@ -302,16 +318,43 @@ def run_modes(env: Env, tag: str, fs: int, bitrate: int, frame_dms=100,
     row["pass"] = all(row[m]["pass"] for m in ("encode", "encdec", "decode")
                       if m in row)
     row["src_rms"] = float(np.sqrt(np.mean(src_pcm.astype(np.float64) ** 2)))
+    if keep_wavs:
+        row["_src"] = src
+        row["_ref_wav"] = ref_wav
+        row["_encdec_wav"] = work / f"{tag}_ed.wav"
     return row
 
 
 # -------------------------------------------------------------- families
 
+ODG_DELTA = 0.06     # lc3_conformance.py:123-131
+
+
 def fam_sqam(env: Env):
     rows = []
+    from tools import odg as O
     for wav, fs, br, dms in QUALITY_POINTS:
-        rows.append(run_modes(env, f"sqam_{wav}_{br}_{dms}", fs, br,
-                              frame_dms=dms))
+        hr = wav.endswith("hr")
+        row = run_modes(env, f"sqam_{wav}_{br}_{dms}", fs, br,
+                        frame_dms=dms, hrmode=hr, keep_wavs=True)
+        # ODG delta: both chains scored against the same source item
+        # (run_peaq flow, lc3_conformance.py:559-571)
+        try:
+            src = _read_pcm(row.pop("_src"))
+            ref = _read_pcm(row.pop("_ref_wav"))
+            out = _read_pcm(row.pop("_encdec_wav"))
+            mfs = 48000 if fs == 44100 else min(fs, 48000)
+            odg_ref = O.odg_est(src, ref, mfs)
+            odg_test = O.odg_est(src, out, mfs)
+            delta = odg_ref - odg_test
+            row["odg"] = {"ref": round(odg_ref, 3), "test": round(odg_test, 3),
+                          "delta": round(delta, 3),
+                          "pass": bool(delta <= ODG_DELTA)}
+            row["pass"] = bool(row["pass"] and row["odg"]["pass"])
+        except Exception as e:
+            row["odg"] = {"error": str(e)[:120], "pass": False}
+            row["pass"] = False
+        rows.append(row)
     return rows
 
 
@@ -385,8 +428,10 @@ def fam_ep_non_correctable(env: Env):
 
 
 def fam_ep_mode_switching(env: Env):
+    """EP-mode switching at the reference RMS criterion: both chains run
+    the same per-frame epmode profile (lc3_conformance.py:914-923 passes
+    the switching file as the -epmode argument)."""
     epf = _swf_binary(env.work, [100, 200, 300, 400], "epsw.dat")
-    # our encoder with per-frame epmode switching, our decoder tracks modes
     work = env.work
     src = env.input_wav(16000)
     ours = work / "epsw_ours.bin"
@@ -394,11 +439,10 @@ def fam_ep_mode_switching(env: Env):
     out = work / "epsw_ours.wav"
     env.our_cli(["-D", ours, out])
     ref = work / "epsw_ref.wav"
-    env.etsi(env.fl_exe, ["-E", src, work / "epsw_ref.bin", 64000])
-    env.etsi(env.fl_exe, ["-D", work / "epsw_ref.bin", ref])
+    env.etsi(env.fx_exe, ["-E", "-epmode", str(epf), src,
+                          work / "epsw_ref.bin", 64000])
+    env.etsi(env.fx_exe, ["-D", work / "epsw_ref.bin", ref])
     r = rms_metric(_read_pcm(ref), _read_pcm(out))
-    # mode switching must stay within quality reach of the unprotected chain
-    r["pass"] = bool(r["bits"] >= 10)
     return [{"point": "epsw_16000", "metric": "rms", "encdec": r,
              "pass": r["pass"]}]
 

@@ -276,11 +276,15 @@ def main() -> None:
             "NULL,                      /*  o: dbg per band magnitude modifier, incl. burst attenuation   */",
             "dbg_mag_chg_gr,")
         txt = txt.replace(
-            "NULL ,                      /*  o  :  seed synch dbg                          */",
-            "&dbg_seed_out,")
+            "NULL ,                      /* o  :  seed synch dbg"
+            "                          */",
+            "&dbg_seed_out, /* dbg */")
         txt = txt.replace(
-            "NULL ,                      /*  o  :  evolved Spectrum   dbg                  */",
-            "dbg_X_out,")
+            "NULL ,                      /* o  :  evolved Spectrum   dbg"
+            "                  */",
+            "dbg_X_out, /* dbg */")
+        for needle in ("dbg_mag_chg_gr,", "&dbg_seed_out,", "dbg_X_out,"):
+            assert needle in txt, f"instrumentation failed to land: {needle}"
         txt = txt.replace(
             '#include "functions.h"',
             '#include "functions.h"\n'
