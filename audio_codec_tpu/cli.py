@@ -201,7 +201,12 @@ def main(argv=None) -> int:
             out.append(pcm.T)
             concealed = int(bfi == 1 or np.any(dec.last_bfi != 0))
             edf_out.append(concealed)
-            dbg["bfi"].append(int(np.max(dec.last_bfi)) if bfi != 1 else 1)
+            # .bfi mirrors the exe dump, which writes the per-frame API
+            # error (codec_exe.c:470-473): 0 = decoded (incl. partial
+            # concealment), LC3_DECODE_ERROR = 2 = frame concealed as
+            # lost (lc3.h:106) — NOT the channel-coder bfi value
+            lost_frame = bfi == 1 or int(np.max(dec.last_bfi)) == 1
+            dbg["bfi"].append(2 if lost_frame else 0)
             dbg["epmr"].append(dec.epmr)
             dbg["error_report"].append(
                 int(np.min(dec.error_report)) if np.ndim(dec.error_report) else

@@ -73,62 +73,125 @@ class FixedDecoder:
         self.bo = np.asarray(T.bands_offset(cfg.fs_idx, cfg.frame_dms,
                                             cfg.hrmode))
 
-    def _spectral_chain(self, side, dec, f):
-        """Clean-frame integer chain (dec_lc3.c:156-235) -> (q_d, exp,
-        scf_q)."""
+    def _spectral_chain(self, sf, df, qgo):
+        """Clean-frame integer chain (dec_lc3.c:156-235) over one frame's
+        side/dec rows -> (q_d, exp, scf_q). `qgo` is the frame's
+        quantizedGainOff (payload-size dependent under EP switching)."""
         cfg = self.cfg
-        scf_q, ber = fd.sns_decode_scf(side["scf_idx"][f])
+        scf_q, ber = fd.sns_decode_scf(sf["scf_idx"])
         if ber:
             raise _BerError
-        x, x_e = fd.ari_scaling(dec["x"][f])
-        x = fd.residual_decode(x, x_e, dec["res_bits"][f],
-                               int(dec["n_res"][f]))
-        if not dec["zero_frame"][f]:
+        x, x_e = fd.ari_scaling(df["x"])
+        x = fd.residual_decode(x, x_e, df["res_bits"], int(df["n_res"]))
+        if not df["zero_frame"]:
             x, _ = fd.noise_filling(
-                x, int(dec["nf_seed"][f]), x_e, int(side["fac_ns_idx"][f]),
-                int(side["bw_idx"][f]), cfg.frame_dms)
-        x, x_e = fd.apply_global_gain(x, x_e, int(side["gg_idx"][f]),
-                                     cfg.quantizedGainOff)
-        x, x_e = fd.tns_decode(dec["tns_idx"][f].reshape(16), x, x_e,
-                               dec["tns_order"][f],
-                               int(side["bw_idx"][f]), cfg.frame_dms)
+                x, int(df["nf_seed"]), x_e, int(sf["fac_ns_idx"]),
+                int(sf["bw_idx"]), cfg.frame_dms)
+        x, x_e = fd.apply_global_gain(x, x_e, int(sf["gg_idx"]), qgo)
+        x, x_e = fd.tns_decode(df["tns_idx"].reshape(16), x, x_e,
+                               df["tns_order"],
+                               int(sf["bw_idx"]), cfg.frame_dms)
         scf, scf_e = fd.sns_interpolate(scf_q, cfg.bands_number)
         scf_e, x_e = fd.scf_scaling(scf_e, x_e)
         x = fd.mdct_shaping(x, scf, scf_e, self.bo)
         return x, x_e, scf_q
 
+    def _frontends(self, frames_u8, good_idx, nbytes, n_pc=None,
+                   n_pccw=None):
+        """Entropy frontend per frame. With `nbytes` (per-frame payload
+        sizes, as produced by the channel decoder under EP mode
+        switching, fec_get_data_size) frames are grouped by size and
+        each group runs under a Config re-derived for that size — the
+        reference re-runs update_enc/dec on every size change
+        (lc3_enc_set_ep_mode -> update, setup_dec_lc3.c).  `n_pc` /
+        `n_pccw` carry the channel decoder's per-frame partial-
+        concealment geometry: for EP modes > 2 the core payload stays in
+        the REORDERED layout (processReorderBitstream_fx) and the range
+        decoder must read it n_pc-aware (ari_codec.c:1824-1921).
+        Returns (side_f, dec_f, qgo_f, sfi_f) maps: frame index ->
+        per-frame row dicts / scalars (None for frames not in
+        good_idx)."""
+        cfg = self.cfg
+        n = len(frames_u8)
+        side_f = [None] * n
+        dec_f = [None] * n
+        qgo_f = [cfg.quantizedGainOff] * n
+        sfi_f = [self.sfi] * n
+        if nbytes is None:
+            groups = {None: list(map(int, good_idx))}
+        else:
+            nbytes = np.asarray(nbytes)
+            n_pc = np.zeros(n, np.int64) if n_pc is None else np.asarray(n_pc)
+            n_pccw = (np.zeros(n, np.int64) if n_pccw is None
+                      else np.asarray(n_pccw))
+            groups = {}
+            for f in map(int, good_idx):
+                key = (int(nbytes[f]), int(n_pc[f]), int(n_pccw[f]))
+                groups.setdefault(key, []).append(f)
+        for key, idxs in groups.items():
+            if not idxs:
+                continue
+            if key is None:
+                gcfg, width = cfg, cfg.targetBytes
+            else:
+                nb, npc, npccw = key
+                width = nb
+                if nb == cfg.targetBytes and npc == cfg.n_pc:
+                    gcfg = cfg
+                else:
+                    fps = 10000 // cfg.frame_dms
+                    gcfg = Config(fs_in=cfg.fs_in, bitrate=nb * 8 * fps,
+                                  frame_dms=cfg.frame_dms, hrmode=cfg.hrmode)
+                    assert gcfg.targetBytes == nb, (gcfg.targetBytes, nb)
+                    object.__setattr__(gcfg, "n_pc", npc)
+                    object.__setattr__(gcfg, "n_pccw", npccw)
+            side, dec = _frontend(gcfg, frames_u8[idxs][:, :width])
+            sfi = (self.sfi if gcfg is cfg else
+                   fl.scale_fac_idx_for(gcfg.total_bits, gcfg.fs_idx,
+                                        gcfg.frame_dms))
+            for k, f in enumerate(idxs):
+                side_f[f] = {key2: v[k] for key2, v in side.items()}
+                dec_f[f] = {key2: v[k] for key2, v in dec.items()}
+                qgo_f[f] = gcfg.quantizedGainOff
+                sfi_f[f] = sfi
+        return side_f, dec_f, qgo_f, sfi_f
+
     def decode_plc(self, frames_u8: np.ndarray, bfi: np.ndarray,
-                   frame_hook=None) -> np.ndarray:
+                   frame_hook=None, nbytes=None, n_pc=None,
+                   n_pccw=None) -> np.ndarray:
         """Full decode with frame erasures (bfi[f] in {0,1}): the MD5-gate
         path (dec_lc3.c:103-300 with advanced PLC).  `frame_hook(f, self)`
-        runs after each frame (test instrumentation)."""
+        runs after each frame (test instrumentation).  `nbytes` gives
+        per-frame payload sizes for EP-mode-switching streams (payloads
+        left-aligned in frames_u8)."""
         from .ops import plc_fixed as pf
         cfg = self.cfg
         N, yLen = cfg.frame_length, cfg.yLen
         n = len(frames_u8)
         bfi = np.asarray(bfi)
         good_idx = np.nonzero(bfi == 0)[0]
-        side, dec = _frontend(cfg, frames_u8[good_idx])
-        gmap = {int(f): k for k, f in enumerate(good_idx)}
+        side_f, dec_f, qgo_f, sfi_f = self._frontends(
+            frames_u8, good_idx, nbytes, n_pc=n_pc, n_pccw=n_pccw)
         st, plc, ltpf = self.imdct_st, self.plc, self.ltpf_st
         pcm = np.zeros((n, N), np.int16)
         for f in range(n):
             b = int(bfi[f])
             scf_q = None
             if b != 1:
-                k = gmap[f]
+                sf, df = side_f[f], dec_f[f]
                 # BER detected by the side parser / range decoder conceals
                 # the frame (dec_entropy.c -> bfi, dec_lc3.c:120-160)
-                if side["bfi"][k] or dec["bfi"][k]:
+                if sf["bfi"] or df["bfi"]:
                     b = 1
             if b != 1:
                 try:
-                    q_d, q_exp, scf_q = self._spectral_chain(side, dec, k)
+                    q_d, q_exp, scf_q = self._spectral_chain(sf, df,
+                                                             qgo_f[f])
                 except _BerError:
                     b = 1
                 else:
                     q_d = np.concatenate([q_d, np.zeros(N - yLen, I64)])
-                    lp = side["ltpf_param"][k]
+                    lp = sf["ltpf_param"]
             if b == 1:
                 q_d, q_exp = np.zeros(N, I64), 0
                 lp = np.zeros(3, np.int64)
@@ -175,7 +238,7 @@ class FixedDecoder:
                                       scf_q if scf_q is not None else [0] * 16)
             y, ye = fl.ltpf_decode(ltpf, x_fx, int(q_exp), cfg.fs_idx, N,
                                    int(lp[0]), int(lp[1]), int(lp[2]),
-                                   self.sfi, bfi=b, conceal_method=cm,
+                                   sfi_f[f], bfi=b, conceal_method=cm,
                                    damping=plc.damping)
             pcm[f] = round_pcm16(y, ye)
             if frame_hook is not None:

@@ -25,6 +25,27 @@ I32 = jnp.int32
 F32 = jnp.float32
 
 
+def decode_entropy(cfg: Config, frame_bytes: jnp.ndarray,
+                   bfi_ext: jnp.ndarray | None = None,
+                   be_bp_left: jnp.ndarray | None = None,
+                   be_bp_right: jnp.ndarray | None = None):
+    """Stateless entropy phase: side parse + arithmetic decode over [B]
+    frames. Has no dependence on DecState, so callers holding several
+    frames per stream may flatten [T, B] -> [T*B] and run it once —
+    the range decoder's sequential symbol loop then amortizes over T*B
+    lanes instead of being re-entered T times (see decode_block)."""
+    buf = frame_bytes.astype(I32)
+    B = buf.shape[0]
+    bfi = jnp.zeros((B,), I32) if bfi_ext is None else bfi_ext.astype(I32)
+    bfi_in = jnp.where(bfi == 3, 2, bfi)
+    with jax.named_scope("DecoderEntropy"):
+        side = bits.parse_side_info(cfg, buf)
+    with jax.named_scope("AriDecoder"):
+        dec = ari.decode(cfg, buf, side, bfi_in=bfi_in,
+                         be_bp_left=be_bp_left, be_bp_right=be_bp_right)
+    return side, dec
+
+
 def decode_frame(cfg: Config, st: DecState, frame_bytes: jnp.ndarray,
                  bfi_ext: jnp.ndarray | None = None,
                  be_bp_left: jnp.ndarray | None = None,
@@ -33,18 +54,21 @@ def decode_frame(cfg: Config, st: DecState, frame_bytes: jnp.ndarray,
     1 lost, 2 partially corrupt (with be_bp_left/right bit positions from
     the channel decoder), 3 redundancy frame (G.192, dec_lc3.c:105-112).
     Returns (st, pcm [B, frame_length] float in 16-bit range, aux)."""
-    buf = frame_bytes.astype(I32)
-    B = buf.shape[0]
+    side, dec = decode_entropy(cfg, frame_bytes, bfi_ext,
+                               be_bp_left, be_bp_right)
+    return decode_synthesis(cfg, st, side, dec, bfi_ext)
+
+
+def decode_synthesis(cfg: Config, st: DecState, side, dec,
+                     bfi_ext: jnp.ndarray | None = None):
+    """Stateful phase of the decode step, consuming decode_entropy's
+    (side, dec). Everything from partial concealment through LTPF."""
+    B = dec["x"].shape[0]
     N = cfg.yLen
     bfi = jnp.zeros((B,), I32) if bfi_ext is None else bfi_ext.astype(I32)
     rframe = (bfi == 3).astype(I32)
     bfi = jnp.where(bfi == 3, 2, bfi)
 
-    with jax.named_scope("DecoderEntropy"):
-        side = bits.parse_side_info(cfg, buf)
-    with jax.named_scope("AriDecoder"):
-        dec = ari.decode(cfg, buf, side, bfi_in=bfi, be_bp_left=be_bp_left,
-                         be_bp_right=be_bp_right)
     # side-parse failures and transport loss dominate; the ari decoder's
     # bfi already folds in the input bfi==2 / PC classification
     bfi = jnp.where(side["bfi"] == 1, 1,
@@ -160,6 +184,35 @@ def decode_frame(cfg: Config, st: DecState, frame_bytes: jnp.ndarray,
     aux = dict(bfi=bfi, bw_idx=side["bw_idx"], gg_idx=side["gg_idx"],
                spec=x, spec_inv_idx=spec_inv_idx)
     return st, y, aux
+
+
+def decode_block(cfg: Config, st: DecState, frames: jnp.ndarray,
+                 bfi_ext: jnp.ndarray | None = None):
+    """Decode T frames of B streams: frames [T, B, nbytes] -> pcm
+    [T, B, frame_length].
+
+    The entropy phase (side parse + range decode) is frame-independent,
+    so it runs ONCE over the flattened T*B batch — the range decoder's
+    sequential, latency-bound symbol loop executes its ~O(bits) trips a
+    single time with T-fold wider lanes instead of T times. Only the
+    synthesis phase (PC/PLC state, IMDCT OLA, LTPF memories) scans over
+    T. On a latency-bound accelerator this is the difference between
+    ~O(T * bits) and ~O(bits + T * matmul) sequential steps per block.
+    """
+    T_, B, nb = frames.shape
+    flat_bfi = None if bfi_ext is None else bfi_ext.reshape(T_ * B)
+    side, dec = decode_entropy(cfg, frames.reshape(T_ * B, nb), flat_bfi)
+    side_t = jax.tree.map(lambda a: a.reshape(T_, B, *a.shape[1:]), side)
+    dec_t = jax.tree.map(lambda a: a.reshape(T_, B, *a.shape[1:]), dec)
+    bfi_t = (jnp.zeros((T_, B), I32) if bfi_ext is None
+             else bfi_ext.astype(I32))
+
+    def body(st, inp):
+        side_f, dec_f, bfi_f = inp
+        st, pcm, _ = decode_synthesis(cfg, st, side_f, dec_f, bfi_f)
+        return st, pcm
+
+    return jax.lax.scan(body, st, (side_t, dec_t, bfi_t))
 
 
 def _plc_advanced(cfg: Config, st: DecState, x, bfi, side, spec_inv_idx,

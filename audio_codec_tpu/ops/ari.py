@@ -576,11 +576,8 @@ def decode(cfg: Config, buf, side, bfi_in=None, be_bp_left=None,
     cumf = jnp.asarray(T.t("ari_spec_cumfreq_fl"), I32)    # [64, 18]
     rate_flag = cfg.rateFlag if cfg.fs_idx != 5 else 0
 
-    x = jnp.zeros((Bn, N), I32)
-    save_lev = jnp.zeros((Bn, N // 2), I32)
-
     def tup_body(carry, k):
-        st, x, save_lev, c, bfi = carry
+        st, c, bfi = carry
         in_range = ((2 * k) < lastnz) & (bfi == 0)
         a_bin = 2 * k
         b_bin = 2 * k + 1
@@ -615,7 +612,7 @@ def decode(cfg: Config, buf, side, bfi_in=None, be_bp_left=None,
             lev_eff = jnp.minimum(lev_fin, 13)
         else:
             lev_eff = lev_fin
-        save_lev = save_lev.at[:, k].set(jnp.where(in_range, lev_eff, 0))
+        lev_out = jnp.where(in_range, lev_eff, 0)
         a_fin = sym_fin & 3
         b_fin = sym_fin >> 2
         ak = ak + jnp.where(in_range, a_fin << lev_eff, 0)
@@ -627,11 +624,8 @@ def decode(cfg: Config, buf, side, bfi_in=None, be_bp_left=None,
         rd = in_range & (bk > 0) & (bfi == 0)
         st, bit, rd, bfi = side_read(st, bfi, rd, b_bin)
         bk = jnp.where(rd & (bit == 1), -bk, bk)
-        rows = jnp.arange(Bn)
-        x = x.at[rows, jnp.clip(2 * k, 0, N - 1)].set(
-            jnp.where(in_range, ak, x[rows, jnp.clip(2 * k, 0, N - 1)]))
-        x = x.at[rows, jnp.clip(2 * k + 1, 0, N - 1)].set(
-            jnp.where(in_range, bk, x[rows, jnp.clip(2 * k + 1, 0, N - 1)]))
+        ak_out = jnp.where(in_range, ak, 0)
+        bk_out = jnp.where(in_range, bk, 0)
         # context update
         lev1 = jnp.minimum(lev_eff, 3)
         t_next = jnp.where(lev1 <= 1, 1 + (a_fin + b_fin) * (lev1 + 1), 12 + lev1)
@@ -643,11 +637,19 @@ def decode(cfg: Config, buf, side, bfi_in=None, be_bp_left=None,
             crossed = crossed & (st.c_bp == st.c_bp_side)
         bfi = jnp.where(in_range & crossed, 1, bfi)
         bfi = bfi | st.ber
-        return (st, x, save_lev, c, bfi), None
+        return (st, c, bfi), (ak_out, bk_out, lev_out)
 
-    (st, x, save_lev, _, bfi), _ = jax.lax.scan(
-        tup_body, (st, x, save_lev, jnp.zeros((Bn,), I32), bfi),
-        jnp.arange(N // 2))
+    # the spectrum/level buffers are emitted as stacked scan OUTPUTS, not
+    # carried state: carrying [B, N] through the scan makes XLA
+    # materialize (copy) the full buffer every symbol step — ~N/2 copies
+    # of B*N i32 dominate HBM traffic and serialize the decoder. As ys
+    # they are written once.
+    (st, _, bfi), (aks, bks, levs) = jax.lax.scan(
+        tup_body, (st, jnp.zeros((Bn,), I32), bfi), jnp.arange(N // 2))
+    x = jnp.zeros((Bn, N), I32)
+    x = x.at[:, 0: 2 * (N // 2): 2].set(aks.T)
+    x = x.at[:, 1: 2 * (N // 2): 2].set(bks.T)
+    save_lev = levs.T
 
     # --- residual bits ---
     total_bits = cfg.targetBytes * 8
@@ -675,35 +677,33 @@ def decode(cfg: Config, buf, side, bfi_in=None, be_bp_left=None,
         nz_count = nz_count * 20  # EXT_RES_ITER_MAX (ari_codec.c:441-444)
     n_res0 = jnp.minimum(nbits_residual, nz_count)
     max_res = min(residual_max_bits(cfg), total_bits)
-    res_bits = jnp.zeros((Bn, max_res), I32)
-
     def res_body(carry, k):
-        st, res_bits, res_dead = carry
+        st, res_dead = carry
         act = (lsb_mode == 0) & (k < n_res0) & (bfi == 0) & ~res_dead
         st, bit, act, res_dead = side_read(st, res_dead, act, st.inv_bin,
                                            res_phase=True, res_dead=res_dead)
-        rows = jnp.arange(Bn)
-        res_bits = res_bits.at[rows, k].set(
-            jnp.where(act, bit, res_bits[rows, k]))
-        return (st, res_bits, res_dead), None
+        return (st, res_dead), jnp.where(act, bit, 0)
 
-    (st, res_bits, res_dead), _ = jax.lax.scan(
-        res_body, (st, res_bits, res_dead), jnp.arange(max_res))
+    (st, res_dead), res_ys = jax.lax.scan(
+        res_body, (st, res_dead), jnp.arange(max_res))
+    res_bits = res_ys.T  # [Bn, max_res]; ys not carry — see tup_body note
 
-    # lsb_mode == 1: apply LSB refinement inline (ari_codec.c:476-556)
-    def lsb_body(carry, k):
-        st, x, budget, res_dead = carry
-        rows = jnp.arange(Bn)
+    # lsb_mode == 1: apply LSB refinement inline (ari_codec.c:476-556).
+    # Each step only reads/writes its own bin pair (2k, 2k+1), so the
+    # refined pairs are emitted as ys against the read-only pre-LSB x
+    # (carrying x would copy [B, N] per step — see tup_body note).
+    def lsb_body(carry, inp):
+        st, budget, res_dead = carry
+        k, xa, xb = inp
         has = (lsb_mode == 1) & (save_lev[:, k] > 0) & ((2 * k) < lastnz) \
             & (bfi == 0)
-        for pos in range(2):
-            idx = 2 * k + pos
+        outs = []
+        for xv in (xa, xb):
             act = has & (budget > 0) & ~res_dead
             st, bit, act, res_dead = side_read(
                 st, res_dead, act, st.inv_bin, res_phase=True,
                 res_dead=res_dead)
             budget = budget - act.astype(I32)
-            xv = x[rows, jnp.clip(idx, 0, N - 1)]
             # bit==1 and xv!=0 -> move away from zero
             upd = jnp.where(xv > 0, xv + 1, jnp.where(xv < 0, xv - 1, xv))
             xv2 = jnp.where(act & (bit == 1) & (xv != 0), upd, xv)
@@ -713,12 +713,16 @@ def decode(cfg: Config, buf, side, bfi_in=None, be_bp_left=None,
                 st, res_dead, act2, st.inv_bin, res_phase=True,
                 res_dead=res_dead)
             budget = budget - act2.astype(I32)
-            xv2 = jnp.where(act2, jnp.where(bit2 == 0, 1, -1), xv2)
-            x = x.at[rows, jnp.clip(idx, 0, N - 1)].set(xv2)
-        return (st, x, budget, res_dead), None
+            outs.append(jnp.where(act2, jnp.where(bit2 == 0, 1, -1), xv2))
+        return (st, budget, res_dead), (outs[0], outs[1])
 
-    (st, x, _, res_dead), _ = jax.lax.scan(
-        lsb_body, (st, x, nbits_residual, res_dead), jnp.arange(N // 2))
+    xa_in = x[:, 0: 2 * (N // 2): 2].T
+    xb_in = x[:, 1: 2 * (N // 2): 2].T
+    (st, _, res_dead), (xa_out, xb_out) = jax.lax.scan(
+        lsb_body, (st, nbits_residual, res_dead),
+        (jnp.arange(N // 2), xa_in, xb_in))
+    x = x.at[:, 0: 2 * (N // 2): 2].set(xa_out.T)
+    x = x.at[:, 1: 2 * (N // 2): 2].set(xb_out.T)
 
     # --- final classification + outputs ---
     n_res = jnp.where(lsb_mode == 0, n_res0, 0)

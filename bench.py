@@ -63,12 +63,11 @@ def main() -> None:
     dst = S.dec_state_init(cfg, B)
     dst = jax.device_put(dst, dev)
 
+    # decode_block batches the latency-bound entropy phase over all T*B
+    # frames at once; only stateful synthesis scans over T (docs/PERF.md)
     @jax.jit
     def dblock(st, frames):
-        def body(st, buf):
-            st, pcm, _ = decoder.decode_frame(cfg, st, buf)
-            return st, pcm
-        return jax.lax.scan(body, st, frames)
+        return decoder.decode_block(cfg, st, frames)
 
     frames_in = out.astype(jnp.int32)
     dst2, pcm_out = dblock(dst, frames_in)

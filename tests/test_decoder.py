@@ -106,3 +106,40 @@ def test_decoder_full_stream(rig):
     diff = ours[delay: delay + n].astype(np.float64) - pcm_gold[:n, 0].astype(np.float64)
     err = np.sqrt(np.mean(diff ** 2))
     assert err < 0.1, err  # sample-exact up to PCM rounding
+
+
+def test_decode_block_equivalence():
+    """decode_block (T*B-batched entropy + scanned synthesis) must match
+    T sequential decode_frame calls, including states and concealed
+    lanes. Tolerance is float32-ulp scale (~5e-3 on the +-32768 PCM
+    range): the two programs compile with different XLA fusions, so
+    bit-equality of float reassociation is not guaranteed — the integer
+    entropy outputs ARE bit-exact by construction (decode_entropy is
+    the shared code path)."""
+    from audio_codec_tpu.models import encoder
+    B, T = 2, 4
+    est = S.enc_state_init(CFG, B)
+    frames = []
+    for t in range(T):
+        pcm = (3000 * np.sin(0.03 * (t + 1) *
+                             np.arange(CFG.frame_length))[None] *
+               np.ones((B, 1))).astype(np.float32)
+        est, out, _ = encoder.encode_frame(CFG, est, jnp.asarray(pcm))
+        frames.append(np.asarray(out))
+    frames = jnp.asarray(np.stack(frames)).astype(jnp.int32)
+    bfi = jnp.zeros((T, B), jnp.int32).at[2, 1].set(1)
+
+    st = S.dec_state_init(CFG, B)
+    outs = []
+    for t in range(T):
+        st, pcm, _ = decoder.decode_frame(CFG, st, frames[t], bfi[t])
+        outs.append(np.asarray(pcm))
+    st2 = S.dec_state_init(CFG, B)
+    st2, blk = decoder.decode_block(CFG, st2, frames, bfi)
+    np.testing.assert_allclose(np.stack(outs), np.asarray(blk), atol=0.01)
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.size and np.issubdtype(a.dtype, np.floating):
+            np.testing.assert_allclose(a, b, atol=0.01)
+        elif a.size:
+            np.testing.assert_array_equal(a, b)

