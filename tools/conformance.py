@@ -444,20 +444,40 @@ def fam_ep_non_correctable(env: Env):
     concealment quality is covered by the plc family instead.  The
     encdec leg (float encoder + fixed-exe decode of the corrupted
     stream) is scored at MLD."""
+    from audio_codec_tpu.utils import bitstream_io as bio
+    import zlib
     rows = []
     for m in (2, 4):
         flips = int(64000 * m * 16000 / 24000 / 100000)
-        row = run_modes(env, f"epnc_{m}", 16000, 64000, epmode=m,
-                        metric="mld", corrupt=(max(flips, 40), 0.5),
-                        modes=("encdec",))
-        # decode leg: same corrupted reference stream through our fixed
-        # conformance chain vs the fixed exe
-        work, tag = env.work, f"epnc_{m}"
-        r_dec = _fixed_ep_decode_rms(env, work / f"{tag}_refcor.bin",
-                                     work / f"{tag}_ref.wav")
-        row["decode"] = r_dec
-        row["pass"] = bool(row["encdec"]["pass"] and r_dec["pass"])
-        rows.append(row)
+        flips = max(flips, 40)
+        tag, work = f"epnc_{m}", env.work
+        src = env.input_wav(16000)
+        seed = zlib.crc32(tag.encode())
+        ref_bin = work / f"{tag}_ref.bin"
+        env.etsi(env.fx_exe, ["-E", "-epmode", m, src, ref_bin, 64000])
+        h, frames = bio.read_all(ref_bin)
+        refcor = work / f"{tag}_refcor.bin"
+        bio.write_all(refcor, h, corrupt_stream(
+            frames, flips, 0.5, np.random.default_rng(seed)))
+        ref_wav = work / f"{tag}_ref.wav"
+        env.etsi(env.fx_exe, ["-D", refcor, ref_wav])
+        # encode leg: our encoder's stream, identically corrupted, must
+        # survive the reference decoder's EP detection + concealment
+        ours_bin = work / f"{tag}_ours.bin"
+        env.our_cli(["-E", "-epmode", m, src, ours_bin, 64000])
+        h2, oframes = bio.read_all(ours_bin)
+        ourscor = work / f"{tag}_ourscor.bin"
+        bio.write_all(ourscor, h2, corrupt_stream(
+            oframes, flips, 0.5, np.random.default_rng(seed)))
+        xdec = work / f"{tag}_xdec.wav"
+        env.etsi(env.fx_exe, ["-D", ourscor, xdec])
+        r_enc = mld_metric(_read_pcm(ref_wav), _read_pcm(xdec), 16000)
+        # decode leg: corrupted reference stream through our channel
+        # decoder + bit-exact fixed cores (identical concealment)
+        r_dec = _fixed_ep_decode_rms(env, refcor, ref_wav)
+        rows.append({"point": tag, "metric": "mld-enc/rms14-dec",
+                     "encode": r_enc, "decode": r_dec,
+                     "pass": bool(r_enc["pass"] and r_dec["pass"])})
     return rows
 
 
