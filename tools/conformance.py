@@ -276,6 +276,13 @@ def run_modes(env: Env, tag: str, fs: int, bitrate: int, frame_dms=100,
     env.etsi(exe, ["-D"] + dec_args + [ref_stream, ref_wav])
     ref_out = _read_pcm(ref_wav)
 
+    import os as _os, sys as _sys, time as _time
+    _dbg = _os.environ.get("LC3TPU_CONF_DEBUG")
+    def _mark(stage):
+        if _dbg:
+            print(f"[conf {tag}] {stage} t={_time.time():.0f}",
+                  file=_sys.stderr, flush=True)
+    _mark("ref-chain-done")
     row = {"point": tag, "metric": metric}
     src_pcm = _read_pcm(src)
 
@@ -294,11 +301,14 @@ def run_modes(env: Env, tag: str, fs: int, bitrate: int, frame_dms=100,
             enc_our += ["-epmode", epmode]
         if swf is not None:
             enc_our += ["-swf", swf]
+        _mark("our-encode-start")
         env.our_cli(["-E"] + enc_our + [src, ours_bin, bitrate])
+        _mark("our-encode-done")
         if "encode" in modes:
             enc_wav = work / f"{tag}_enc.wav"
             env.etsi(exe, ["-D"] + dec_args + [ours_bin, enc_wav])
             row["encode"] = compare(_read_pcm(enc_wav), metric_enc)
+            _mark("encode-leg-done")
         if "encdec" in modes:
             ed_stream = ours_bin
             if corrupt:
@@ -310,14 +320,18 @@ def run_modes(env: Env, tag: str, fs: int, bitrate: int, frame_dms=100,
             ed_wav = work / f"{tag}_ed.wav"
             our_dec = list(dec_args)
             env.our_cli(["-D"] + our_dec + [ed_stream, ed_wav])
+            _mark("encdec-decode-done")
             row["encdec"] = compare(_read_pcm(ed_wav), metric_enc)
+            _mark("encdec-metric-done")
     if "decode" in modes:
         dec_wav = work / f"{tag}_dec.wav"
         our_dec = list(dec_args)
         if epmode:
             our_dec += ["-ep_dbg", str(work / f"{tag}_tdbg")]
         env.our_cli(["-D"] + our_dec + [ref_stream, dec_wav])
+        _mark("decode-leg-decode-done")
         row["decode"] = compare(_read_pcm(dec_wav))
+        _mark("decode-metric-done")
         if epmode:
             rdbg = work / f"{tag}_rdbg"
             env.etsi(exe, ["-D"] + dec_args + ["-ep_dbg", rdbg,
