@@ -77,7 +77,12 @@ def ltpf_decode(cfg: Config, x, bfi, param, mem_param, mem_x, mem_y,
     pitch_fr = jnp.where(bad, 0, pitch_fr)
     if cfg.ltpf_conf_beta_idx < 0:
         param = param.at[:, 1].set(0)
-    gain = jnp.where(bad, 0.0, jnp.where(param[:, 1] == 1, cfg.ltpf_conf_beta, 0.0))
+    # strong-typed f32: a weak-typed gain in the carried state changes the
+    # jit signature between the init state and the stepped state, forcing a
+    # full recompile on the second call of any state-feedback loop
+    gain = jnp.where(bad, 0.0,
+                     jnp.where(param[:, 1] == 1, cfg.ltpf_conf_beta, 0.0)
+                     ).astype(F32)
 
     new_mem = dict(param=param, pitch_int=pitch_int, pitch_fr=pitch_fr, gain=gain,
                    beta_idx=jnp.full((B,), cfg.ltpf_conf_beta_idx, I32))

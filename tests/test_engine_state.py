@@ -92,3 +92,31 @@ def test_plc_trigger_frame_conceals():
     out = dec.decode(trig)
     assert int(dec.last_bfi[0]) == 1
     assert out.shape == (1, CFG.frame_length)
+
+
+@pytest.mark.parametrize("fs,bitrate", [(16000, 32000), (48000, 64000)])
+def test_state_signature_stable_across_step(fs, bitrate):
+    """The stepped enc/dec state must carry the SAME abstract jit signature
+    (shape+dtype+weak_type) as the init state: any divergence makes every
+    state-feedback loop (serving, bench.py) recompile on its second call —
+    round 4's decode bench measured exactly such a 27 s recompile instead
+    of throughput (docs/PERF.md)."""
+    from audio_codec_tpu.models import decoder, encoder, state as S
+    import jax.numpy as jnp
+
+    cfg = Config(fs_in=fs, bitrate=bitrate)
+    B = 2
+    pcm = jnp.asarray(_pcm(1, B, cfg.frame_length)[0])
+
+    def sig(tree):
+        return [(jax.tree_util.keystr(p), jax.api_util.shaped_abstractify(v))
+                for p, v in jax.tree_util.tree_leaves_with_path(tree)]
+
+    est = S.enc_state_init(cfg, B)
+    est2, out, _ = jax.jit(lambda s, p: encoder.encode_frame(cfg, s, p))(est, pcm)
+    assert sig(est) == sig(est2)
+
+    dst = S.dec_state_init(cfg, B)
+    dst2, _, _ = jax.jit(lambda s, f: decoder.decode_frame(cfg, s, f))(
+        dst, out.astype(jnp.int32))
+    assert sig(dst) == sig(dst2)
