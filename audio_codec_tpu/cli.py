@@ -151,7 +151,7 @@ def main(argv=None) -> int:
             h = bio.StreamHeader(samplerate=fs, bitrate=int(rates[0]),
                                  channels=channels, frame_ms=args.frame_ms,
                                  epmode=epmode0, signal_len=n_samples,
-                                 hrmode=1 if cfg0.hrmode and fs >= 48000 and cfg0.fs_idx == 5 else 0)
+                                 hrmode=1 if cfg0.hrmode else 0)
             if args.formatG192:
                 with open(out_path, "wb") as fo:
                     for fr in frames_out:
@@ -187,6 +187,7 @@ def main(argv=None) -> int:
         cfg = Config(fs_in=h.samplerate, bitrate=h.bitrate,
                      frame_dms=int(h.frame_ms * 10), channels=h.channels,
                      epmode=4 if h.epmode else 0,  # mode detected per frame
+                     hrmode=bool(h.hrmode),        # codec_exe.c:210-222
                      bps=args.bps)
         lost = np.zeros(len(frames), bool)
         if pattern is not None:

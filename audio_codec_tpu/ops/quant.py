@@ -69,27 +69,47 @@ def estimate_global_gain(cfg: Config, x, nbitsSQ, targetBitsOff, old_targetBits,
         g_min = x_max / (32768.0 - 0.375)
     ind_min = jnp.ceil(28.0 * jnp.log10(jnp.maximum(g_min, 1e-38))).astype(I32)
 
-    e4 = (x * x).reshape(B, lg // 4, 4).sum(-1)
-    en = u * (7.0 + 10.0 * jnp.log10(e4 + reg_val[:, None] + F32(2.0 ** -31)))
+    # en[j]: the C computes x[4j]^2+..+x[4j+3]^2 by sequential f32 adds and
+    # the log expression in double rounded once to float
+    # (estimate_global_gain.c:84-91); match the f32 add order exactly — any
+    # reassociation shifts en/ener by ~1e-4 and flips near-tie bisection
+    # comparisons (a single flipped frame costs the sqam encode leg a full
+    # RMS bit, CONFORMANCE_r04 sqam_thetest24_48000).
+    xx = (x * x).reshape(B, lg // 4, 4)
+    e4 = ((xx[..., 0] + xx[..., 1]) + xx[..., 2]) + xx[..., 3]
+    larg = (e4 + reg_val[:, None]) + F32(2.0 ** -31)
+    en = F32(28.0 / 20.0) * (F32(7.0) + F32(10.0) * jnp.log10(larg))
 
-    target = u * 1.4 * nbits_adj.astype(F32)
-    offset = jnp.full((B,), 255 + cfg.quantizedGainOff, F32)
-    fac = F32(256.0)
-    jidx = jnp.arange(lg // 4)
+    target = F32(1.9599999999999997) * nbits_adj.astype(F32)  # (28/20)*1.4 dbl
+    offset = jnp.full((B,), 255 + cfg.quantizedGainOff, I32)
+    fac = 256
+    # backward sequential f32 accumulation of ener with the C's iszero gap
+    # filling (estimate_global_gain.c:102-125); offset and fac stay integral
+    # (offset is LC3_INT, fac halves 128..1), so i32 state is exact
+    en_rev = jnp.flip(en, axis=-1).T  # [M, B] scan xs, j = M-1 .. 0
+    c_low = F32(9.8)     # f32 compare equivalent to tmp < 7*(28/20) in dbl
+    c_gap = F32(3.78)    # (2.7)*(28/20) in dbl, rounded to f32
+    c_hi = F32(70.0)     # tmp > 50*(28/20) dbl  <=>  tmp >= 70.0f
     for _ in range(8):
-        fac = fac * 0.5
+        fac //= 2
         offset = offset - fac
-        tmp_en = en - offset[:, None]
-        high = tmp_en >= 7.0 * u
-        any_high = high.any(-1)
-        # last index with high (the backward scan sets iszero=0 from there down)
-        jmax = jnp.where(any_high,
-                         (lg // 4 - 1) - jnp.argmax(jnp.flip(high, -1), -1), -1)
-        contrib_high = jnp.where(tmp_en > 50.0 * u, 2.0 * tmp_en - 50.0 * u, tmp_en)
-        contrib = jnp.where(high, contrib_high,
-                            jnp.where(jidx[None, :] < jmax[:, None], 2.7 * u, 0.0))
-        ener = jnp.sum(contrib, axis=-1)
-        offset = offset + jnp.where((ener > target) & any_high, fac, 0.0)
+        offs_f = offset.astype(F32)
+
+        def body(carry, en_j):
+            ener, iszero = carry
+            tmp = en_j - offs_f
+            low = tmp < c_low
+            gap_add = jnp.where(low & ~iszero, c_gap, F32(0.0))
+            hi_add = jnp.where(tmp >= c_hi, (F32(2.0) * tmp - c_hi), tmp)
+            ener = jnp.where(low, ener + gap_add, ener + hi_add)
+            iszero = iszero & low
+            return (ener, iszero), None
+
+        (ener, iszero), _ = jax.lax.scan(
+            body, (jnp.zeros((B,), F32), jnp.ones((B,), bool)), en_rev)
+        offset = offset + jnp.where((ener > target) & ~iszero, fac, 0)
+
+    offset = offset.astype(F32)
 
     below = offset < ind_min.astype(F32)
     zero_in = x_max == 0

@@ -9,6 +9,7 @@ beats an FFT call tree on real batches.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,6 +19,51 @@ from ..config import Config
 
 def _win(cfg: Config) -> np.ndarray:
     return T.mdct_window(cfg.frame_length, cfg.frame_dms, cfg.hrmode)
+
+
+def _dct4_apply(folded: jnp.ndarray, Mt: jnp.ndarray) -> jnp.ndarray:
+    """folded [B, N] @ Mt [N, N] -> [B, N] DCT-IV.
+
+    On accelerators this is a plain MXU matmul. On the CPU backend (the
+    conformance / CLI path, tools/conformance.py) the product+sum runs with
+    Dekker-split exact products and Neumaier compensated accumulation: the
+    reference float encoder computes the same transform with sequential FFT
+    butterflies, and plain pairwise f32 accumulation leaves our spectrum
+    ~30 ulp away from the reference's — enough to flip quantizer dead-zone
+    ties (xq +-1 on single bins) and cost the sqam encode leg a full RMS
+    bit (CONFORMANCE_r04 sqam_thetest24_48000). The compensated path is
+    ~3 ulp from the correctly rounded result, which is closer to the
+    reference than the reference's own rounding error.
+    """
+    if jax.default_backend() != "cpu":
+        return jnp.dot(folded, Mt, preferred_element_type=jnp.float32)
+    B = folded.shape[0]
+
+    def split(v):  # Veltkamp split at 2^12+1 for f32
+        c = jnp.float32(4097.0) * v
+        hi = c - (c - v)
+        return hi, v - hi
+
+    def body(carry, inp):
+        s, comp = carry
+        fk, mrow = inp                      # fk [B], mrow [N_out]
+        a = fk[:, None]
+        b = mrow[None, :]
+        ah, al = split(a)
+        bh, bl = split(b)
+        p = a * b
+        err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+        for y in (p, err):                  # Neumaier two-sum accumulation
+            t = s + y
+            bv = t - s
+            comp = comp + ((s - (t - bv)) + (y - bv))
+            s = t
+        return (s, comp), None
+
+    (s, comp), _ = jax.lax.scan(
+        body, (jnp.zeros((B, Mt.shape[1]), jnp.float32),) * 2,
+        (folded.T, Mt))
+    return s + comp
 
 
 def mdct(cfg: Config, x: jnp.ndarray, mem: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -42,7 +88,7 @@ def mdct(cfg: Config, x: jnp.ndarray, mem: jnp.ndarray) -> tuple[jnp.ndarray, jn
     out_hi = w[:, 0: h] - w[:, 2 * h - 1: h - 1: -1]
     folded = jnp.concatenate([out_lo, out_hi], axis=-1)  # [B, N]
     M = jnp.asarray(T.dct4_matrix(N), jnp.float32)
-    d = jnp.dot(folded, M.T, preferred_element_type=jnp.float32)
+    d = _dct4_apply(folded, M.T)
     new_mem = x[:, la:]
     return d, new_mem
 

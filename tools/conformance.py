@@ -133,11 +133,34 @@ class Env:
         if r.returncode != 0:
             raise RuntimeError(f"{exe} {args}: {r.stderr[-500:]}{r.stdout[-200:]}")
 
+    def cc(self, args: list[str]) -> None:
+        """Run the reference ccConvert tool (no -q flag support)."""
+        exe = self.fx_exe.parent / "ccConvert"
+        r = subprocess.run([str(exe)] + [str(a) for a in args],
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            raise RuntimeError(f"ccConvert {args}: {r.stderr[-300:]}"
+                               f"{r.stdout[-200:]}")
+
     def our_cli(self, args: list[str]) -> None:
         from audio_codec_tpu import cli
         rc = cli.main(["-q"] + [str(a) for a in args])
         if rc != 0:
             raise RuntimeError(f"cli {args} rc={rc}")
+
+    def material_wav(self, name: str, n_frames: int | None = None,
+                     frame_dms: int = 100) -> Path:
+        """Speech-like / music-like 48 kHz item (tools/make_material.py),
+        trimmed to n_frames (default: full length)."""
+        from audio_codec_tpu.utils import wavio
+        src = REPO / "material" / f"{name}.wav"
+        pcm, fs = wavio.read_wav(src)
+        fl = fs * frame_dms // 10000
+        nf = len(pcm) // fl if n_frames is None else min(n_frames,
+                                                         len(pcm) // fl)
+        p = self.work / f"mat_{name}_{nf}.wav"
+        wavio.write_wav(p, pcm[: nf * fl, 0], fs)
+        return p
 
     def input_wav(self, fs: int, channels: int = 1, lowpass: int = 0,
                   n_frames: int | None = None, frame_dms: int = 100) -> Path:
@@ -223,7 +246,8 @@ def run_modes(env: Env, tag: str, fs: int, bitrate: int, frame_dms=100,
               bandwidth=None, swf=None, bwf=None, epmode=0, metric="rms",
               modes=("encode", "encdec", "decode"), channels=1,
               corrupt=None, epf=None, exe=None, lowpass=0,
-              hrmode=False, keep_wavs=False, metric_enc=None) -> dict:
+              hrmode=False, keep_wavs=False, metric_enc=None,
+              src=None) -> dict:
     """One operating point through the requested modes; returns row dict.
 
     corrupt: (flips, frame_pct) applied to the encoded stream before both
@@ -237,8 +261,9 @@ def run_modes(env: Env, tag: str, fs: int, bitrate: int, frame_dms=100,
     from audio_codec_tpu.utils import bitstream_io as bio
     work = env.work
     exe = exe or (env.fx_exe if epmode else env.fl_exe)
-    src = env.input_wav(fs, channels=channels, frame_dms=frame_dms,
-                        lowpass=lowpass)
+    if src is None:
+        src = env.input_wav(fs, channels=channels, frame_dms=frame_dms,
+                            lowpass=lowpass)
     common = []
     if hrmode:
         common += ["-hrmode"]
@@ -364,23 +389,73 @@ def fam_sqam(env: Env):
         row = run_modes(env, f"sqam_{wav}_{br}_{dms}", fs, br,
                         frame_dms=dms, hrmode=hr, keep_wavs=True)
         # ODG delta: both chains scored against the same source item
-        # (run_peaq flow, lc3_conformance.py:559-571)
+        # (run_peaq flow, lc3_conformance.py:559-571). odg_est is the
+        # loudness-front-end estimate, not BS.1387 PEAQ (no PEAQ oracle
+        # ships in this image) — recorded as criterion "odg-estimate".
+        srcp = row.pop("_src", None)
+        refp = row.pop("_ref_wav", None)
+        outp = row.pop("_encdec_wav", None)
         try:
-            src = _read_pcm(row.pop("_src"))
-            ref = _read_pcm(row.pop("_ref_wav"))
-            out = _read_pcm(row.pop("_encdec_wav"))
-            mfs = 48000 if fs == 44100 else min(fs, 48000)
+            src = _read_pcm(srcp)
+            ref = _read_pcm(refp)
+            out = _read_pcm(outp)
+            mfs = 48000 if fs == 44100 else fs   # odg_est resamples 96k HR
             odg_ref = O.odg_est(src, ref, mfs)
             odg_test = O.odg_est(src, out, mfs)
             delta = odg_ref - odg_test
             row["odg"] = {"ref": round(odg_ref, 3), "test": round(odg_test, 3),
                           "delta": round(delta, 3),
+                          "criterion": "odg-estimate",
                           "pass": bool(delta <= ODG_DELTA)}
             row["pass"] = bool(row["pass"] and row["odg"]["pass"])
         except Exception as e:
             row["odg"] = {"error": str(e)[:120], "pass": False}
             row["pass"] = False
         rows.append(row)
+    return rows
+
+
+def fam_material(env: Env):
+    """Quality + concealment points on the speech-like / music-like
+    material class (material/*.wav, tools/make_material.py), run at FULL
+    item length (8 s = 800 frames). The reference harness uses downloaded
+    SQAM excerpts (lc3_conformance.py:55-56,403-448); this image has no
+    network, so the material class is synthesized with speech / music
+    statistics (formant-filtered pitch contours, plucked-string polyphony
+    with percussive onsets) — unlike the multitone thetest* items it
+    exercises the attack detector, TNS and LTPF. Rows carry both material
+    classes: sqam = testvec synthetics, material = this family."""
+    from tools import odg as O
+    rows = []
+    for name, br in (("speech48", 32000), ("speech48", 64000),
+                     ("music48", 64000), ("music48", 128000)):
+        srcp = env.material_wav(name)
+        row = run_modes(env, f"mat_{name}_{br}", 48000, br, src=srcp,
+                        keep_wavs=True)
+        try:
+            src = _read_pcm(row.pop("_src", srcp))
+            ref = _read_pcm(row.pop("_ref_wav"))
+            out = _read_pcm(row.pop("_encdec_wav"))
+            odg_ref = O.odg_est(src, ref, 48000)
+            odg_test = O.odg_est(src, out, 48000)
+            delta = odg_ref - odg_test
+            row["odg"] = {"ref": round(odg_ref, 3), "test": round(odg_test, 3),
+                          "delta": round(delta, 3),
+                          "criterion": "odg-estimate",
+                          "pass": bool(delta <= ODG_DELTA)}
+            row["pass"] = bool(row["pass"] and row["odg"]["pass"])
+        except Exception as e:
+            row.pop("_src", None); row.pop("_ref_wav", None)
+            row.pop("_encdec_wav", None)
+            row["odg"] = {"error": str(e)[:120], "pass": False}
+            row["pass"] = False
+        rows.append(row)
+    # concealment on speech material: 10 % frame erasures, MLD like the
+    # reference's plc family defaults (lc3_conformance.py:132-141)
+    epf = _fer_pattern(env.work, 800, 0.10, env.rng)
+    rows.append(run_modes(env, "mat_plc_speech", 48000, 64000,
+                          src=env.material_wav("speech48"), metric="mld",
+                          modes=("decode",), epf=epf))
     return rows
 
 
@@ -435,16 +510,68 @@ def fam_pc(env: Env):
 
 
 def fam_ep_correctable(env: Env):
-    """Correctable bit flips (m-1 flips inside RS capacity): the decode
-    leg holds at RMS-14 (after correction the payload is identical and
-    our decode tracks the fixed exe to ~-100 dB); the encode/encdec legs
-    carry our float encoder, for which the ETSI equal-precision RMS
-    comparison does not apply -> MLD quality criterion (metric_enc)."""
+    """Correctable bit flips (m-1 flips inside RS capacity), all three
+    legs at the ETSI RMS-14 criterion (lc3_conformance.py:123-141).
+
+    RMS-14 presumes equal-precision chains. The ETSI harness gets that by
+    comparing fixed-point builds; here the reference chain pairs the
+    *float* reference core with the reference's own ccConvert EP wrapper
+    (same gross slot / RS geometry), so the encode and encdec legs
+    compare float-core against float-core. After RS correction both
+    decoders see clean payloads, so the remaining difference is core
+    encoder parity — the same quantity the sqam encode leg measures.
+
+    encode leg: our -E -epmode m, corrupted, through the fixed reference
+    decoder. encdec leg: the same stream through our conformance decoder
+    (channel decode + bit-exact fixed core). decode leg: the (fixed-exe)
+    reference EP stream through our decoder, with .bfi dump compare —
+    unchanged from round 4."""
+    import zlib
+    from audio_codec_tpu.utils import bitstream_io as bio
     rows = []
     for m in (1, 2, 3, 4):
-        rows.append(run_modes(env, f"epc_{m}", 16000, 64000, epmode=m,
-                              corrupt=(m - 1, 0.5), metric_enc="mld",
-                              modes=("encode", "encdec", "decode")))
+        tag, work = f"epc_{m}", env.work
+        src = env.input_wav(16000)
+        slot = 80                      # 64 kbps, 10 ms
+        from audio_codec_tpu.ops import fec
+        data = fec.fec_get_data_size(m, 0, slot)
+        seed = zlib.crc32(tag.encode())
+        # reference chain: float core + ccConvert EP wrap
+        ref_data = work / f"{tag}_refdata.bin"
+        env.etsi(env.fl_exe, ["-E", src, ref_data, data * 800])
+        ref_ep = work / f"{tag}_refep.bin"
+        env.cc(["-pack", slot, m, ref_data, ref_ep])
+        h, fr = bio.read_all(ref_ep)
+        refcor = work / f"{tag}_refcor.bin"
+        bio.write_all(refcor, h, corrupt_stream(
+            fr, m - 1, 0.5, np.random.default_rng(seed)))
+        ref_wav = work / f"{tag}_ref.wav"
+        env.etsi(env.fx_exe, ["-D", refcor, ref_wav])
+        ref_pcm = _read_pcm(ref_wav)
+        # test chains
+        ours = work / f"{tag}_ours.bin"
+        env.our_cli(["-E", "-epmode", m, src, ours, 64000])
+        h2, ofr = bio.read_all(ours)
+        ourscor = work / f"{tag}_ourscor.bin"
+        bio.write_all(ourscor, h2, corrupt_stream(
+            ofr, m - 1, 0.5, np.random.default_rng(seed)))
+        enc_wav = work / f"{tag}_enc.wav"
+        env.etsi(env.fx_exe, ["-D", ourscor, enc_wav])
+        r_enc = rms_metric(ref_pcm, _read_pcm(enc_wav))
+        r_enc["criterion"] = "rms14"
+        r_ed = _fixed_ep_decode_rms(env, ourscor, ref_wav)
+        r_ed["criterion"] = "rms14"
+        # decode leg: fixed-exe reference EP stream through our decoder
+        r_old = run_modes(env, tag, 16000, 64000, epmode=m,
+                          corrupt=(m - 1, 0.5), modes=("decode",))
+        r_dec = r_old["decode"]
+        r_dec["criterion"] = "rms14"
+        row = {"point": tag, "metric": "rms", "encode": r_enc,
+               "encdec": r_ed, "decode": r_dec,
+               "ep_dbg_bfi_match": r_old.get("ep_dbg_bfi_match"),
+               "pass": bool(r_enc["pass"] and r_ed["pass"]
+                            and r_dec["pass"])}
+        rows.append(row)
     return rows
 
 
@@ -514,7 +641,15 @@ def _fixed_ep_decode_rms(env: Env, bs_path: Path, ref_wav: Path,
                         ccc_flag=1 if ccc else 0)
     data = np.asarray(cd["data"], np.int64).astype(np.uint8)
     data_bytes = np.asarray(cd["data_bytes"], np.int64)
-    bfi = np.where(np.asarray(cd["bfi"], np.int64) == 1, 1, 0)
+    bfi = np.asarray(cd["bfi"], np.int64)
+    # partial concealment (bfi == 2) is not implemented in the fixed
+    # conformance decoder — if the channel decoder ever classifies a frame
+    # as partially corrupt here, fail loudly instead of silently decoding
+    # the corrupt region as clean (ADVICE r4; the reference would run
+    # processPCmain_fx, pc_main_fx.c:17)
+    assert not np.any(bfi == 2), \
+        "EP decode leg produced bfi==2 frames; fixed PC path not implemented"
+    bfi = np.where(bfi == 1, 1, 0)
     good = bfi == 0
     fps = 10000 // int(h.frame_ms * 10)
     ch = h.channels if ccc else 1
@@ -594,25 +729,95 @@ def fam_ep_mode_switching(env: Env):
     out = pcm.reshape(-1)[delay:delay + len(ref_pcm)]
     r_dec = rms_metric(ref_pcm[:len(out)], out)
 
+    # encode leg at RMS-14 against an equal-precision (float-core)
+    # reference chain: the float exe encodes with a per-frame *bitrate*
+    # profile matching the per-frame epmode profile's data sizes, and the
+    # payloads are EP-wrapped per frame with the channel coder (bit-exact
+    # vs al_fec: test_fec.py + the .bfi/.epmr dump compares above; the
+    # reference's own ccConvert cannot switch modes per frame)
+    modes_profile = [100, 200, 300, 400]
+    data_sizes = [fec.fec_get_data_size(m // 100, 0, 80)
+                  for m in modes_profile]
+    rate_swf = _swf_binary(env.work, [d * 800 for d in data_sizes],
+                           "epsw_rates.dat")
+    ref_data = work / "epsw_refdata.bin"
+    env.etsi(env.fl_exe, ["-E", "-swf", rate_swf, src, ref_data,
+                          data_sizes[0] * 800])
+    from audio_codec_tpu import ccconvert as CC
+    h3, dfr = bio.read_all(ref_data)
+    wrapped = []
+    for i, f in enumerate(dfr):
+        m = modes_profile[(i // 10) % len(modes_profile)] // 100
+        wrapped += CC.pack_frames(h3, [f], 80, m)
+    ref_ep = work / "epsw_refep.bin"
+    bio.write_all(ref_ep, bio.StreamHeader(
+        h3.samplerate, 64000, h3.channels, h3.frame_ms, 1,
+        h3.signal_len, h3.hrmode), wrapped)
+    ref_ep_wav = work / "epsw_refep.wav"
+    env.etsi(env.fx_exe, ["-D", ref_ep, ref_ep_wav])
+
     ours = work / "epsw_ours.bin"
     env.our_cli(["-E", "-epmode", str(epf), src, ours, 64000])
     xdec = work / "epsw_xdec.wav"
     env.etsi(env.fx_exe, ["-D", ours, xdec])
-    r_enc = mld_metric(ref_pcm, _read_pcm(xdec), 16000)
-    return [{"point": "epsw_16000", "metric": "rms14-dec/mld-enc",
+    r_enc = rms_metric(_read_pcm(ref_ep_wav), _read_pcm(xdec))
+    r_enc["criterion"] = "rms14"
+    r_dec["criterion"] = "rms14"
+    return [{"point": "epsw_16000", "metric": "rms",
              "decode": r_dec, "encode": r_enc,
              "pass": bool(r_dec["pass"] and r_enc["pass"])}]
 
 
 def fam_ep_combined(env: Env):
-    """Stereo combined channel coding, correctable flips: after RS
-    correction the payload is exact, so the chain difference is encoder
-    float precision -> MLD quality criterion (see fam_ep_correctable)."""
+    """Stereo combined channel coding, correctable flips, encode + encdec
+    legs at RMS-14 against an equal-precision reference chain: float exe
+    stereo core + our ccc pack (pack_frames — the reference's ccConvert
+    is mono-only, ccConvert.c:578, and its FEC geometry is bit-exact
+    verified in test_ccconvert/test_fec). Runs at 112 kbps (gross slot
+    2x70): the combined data size is even for both modes, which the float
+    exe requires for a stereo split."""
+    import zlib
+    from audio_codec_tpu import ccconvert as CC
+    from audio_codec_tpu.ops import fec
+    from audio_codec_tpu.utils import bitstream_io as bio
     rows = []
     for m in (1, 4):
-        rows.append(run_modes(env, f"epcc_{m}", 16000, 128000, epmode=m,
-                              channels=2, corrupt=(m - 1, 0.5),
-                              metric="mld", modes=("encdec",)))
+        tag, work = f"epcc_{m}", env.work
+        src = env.input_wav(16000, channels=2)
+        gross = 140                    # 112 kbps stereo, 10 ms
+        data = fec.fec_get_data_size(m, 1, gross)
+        seed = zlib.crc32(tag.encode())
+        ref_data = work / f"{tag}_refdata.bin"
+        env.etsi(env.fl_exe, ["-E", src, ref_data, data * 800])
+        h, dfr = bio.read_all(ref_data)
+        wrapped = CC.pack_frames(h, dfr, gross // 2, m)
+        ref_ep = work / f"{tag}_refep.bin"
+        bio.write_all(ref_ep, bio.StreamHeader(
+            h.samplerate, 112000, h.channels, h.frame_ms, 1,
+            h.signal_len, h.hrmode), wrapped)
+        h1, fr = bio.read_all(ref_ep)
+        refcor = work / f"{tag}_refcor.bin"
+        bio.write_all(refcor, h1, corrupt_stream(
+            fr, m - 1, 0.5, np.random.default_rng(seed)))
+        ref_wav = work / f"{tag}_ref.wav"
+        env.etsi(env.fx_exe, ["-D", refcor, ref_wav])
+        ref_pcm = _read_pcm(ref_wav)
+
+        ours = work / f"{tag}_ours.bin"
+        env.our_cli(["-E", "-epmode", m, src, ours, 112000])
+        h2, ofr = bio.read_all(ours)
+        ourscor = work / f"{tag}_ourscor.bin"
+        bio.write_all(ourscor, h2, corrupt_stream(
+            ofr, m - 1, 0.5, np.random.default_rng(seed)))
+        enc_wav = work / f"{tag}_enc.wav"
+        env.etsi(env.fx_exe, ["-D", ourscor, enc_wav])
+        r_enc = rms_metric(ref_pcm, _read_pcm(enc_wav))
+        r_enc["criterion"] = "rms14"
+        r_ed = _fixed_ep_decode_rms(env, ourscor, ref_wav, ccc=True)
+        r_ed["criterion"] = "rms14"
+        rows.append({"point": tag, "metric": "rms", "encode": r_enc,
+                     "encdec": r_ed,
+                     "pass": bool(r_enc["pass"] and r_ed["pass"])})
     return rows
 
 
@@ -654,6 +859,7 @@ def fam_ep_combined_nc(env: Env):
 
 FAMILIES = {
     "sqam": fam_sqam,
+    "material": fam_material,
     "band_limiting": fam_band_limiting,
     "low_pass": fam_low_pass,
     "bitrate_switching": fam_bitrate_switching,

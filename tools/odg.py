@@ -1,25 +1,39 @@
 #!/usr/bin/env python3
-"""Objective Difference Grade on the BS.1387 loudness front end.
+"""Objective Difference Grade estimate on the BS.1387 loudness front end.
 
 The reference conformance quality gate is a PEAQ delta: ODG of the test
 chain may degrade at most 0.06 vs the ODG of the reference chain
 (conformance/lc3_conformance.py:123-131, run_peaq at :559-571 shells out
-to an external PEAQ binary that is not part of the package).
+to an external PEAQ binary that is not part of the package, and no PEAQ
+implementation ships in this image either — zero egress).
 
 This module derives an ODG estimate from the already-validated BS.1387
 basic-model loudness front end (tools/mld.py, bit-matched to the C
-conformance tool to 4 decimals): the per-frame specific-loudness
+conformance tool to 4 decimals): the per-frame summed specific-loudness
 difference between reference and signal under test — the core of PEAQ's
-noise-loudness model output variables — is averaged (RMS over frames,
-the RmsNoiseLoud aggregation) and mapped onto the ODG scale with the
-standard sigmoid ODG(DI) = -3.98 + 4.2 / (1 + e^-DI).
+noise-loudness MOVs — is aggregated as RMS over frames (the RmsNoiseLoud
+aggregation) and mapped onto the ODG scale.
 
-Scope note: this is the loudness-MOV subset of the 11-MOV basic model
-(the full neural aggregation needs the BS.1387 Annex weight tables plus
-a PEAQ oracle to validate against, and the package ships neither).  It
-is exact for the conformance *delta* criterion's purpose — a monotone,
-front-end-validated distortion measure on the ODG scale evaluated
-identically for both chains — and is labelled `odg_est` everywhere.
+Mapping calibration (tools/odg.py history; tests/test_odg.py re-checks the
+anchors): additive white noise on the 48 kHz test item measured through the
+front end gives loudness-diff RMS ~0.004 / 0.13 / 0.76 / 2.65 / 6.9 at SNR
+60/40/30/20/10 dB; anchoring those at ODG ~0 / -1 / -2 / -3 / -3.9
+(imperceptible .. very annoying) fits
+
+    ODG(rms) = -3.98 + 3.98 / (1 + (rms / 0.75) ** 0.75)
+
+which is strictly monotone with no clamp and no dead zone: transparent
+chains score ~-0.05, and a loudness-diff shift of ~0.03 around typical
+codec operating points moves the estimate by the 0.06 delta criterion.
+(The previous revision clamped at 0.0 behind a saturating sigmoid, which
+mapped almost every chain to exactly 0.0 and made the delta gate vacuous —
+ADVICE round 4.)
+
+Scope note: this is the loudness-MOV subset of the 11-MOV basic model, not
+ITU-R BS.1387 PEAQ (porting the full model needs the Annex 2 neural
+weights plus a PEAQ oracle to validate against; the package ships neither
+and the image has no network). It is labelled `odg_est` everywhere and the
+conformance rows record `criterion: "odg-estimate"`.
 
 Usage: python tools/odg.py ref.wav test.wav
 """
@@ -31,11 +45,13 @@ import numpy as np
 
 from tools import mld as M
 
-# DI calibration: zero distortion -> ODG ~ 0 (imperceptible); an average
-# specific-loudness difference of 4 (the MLD conformance threshold on the
-# same front end) -> ODG ~ -4 (very annoying).
-_DI_SCALE = 1.9
-_DI_OFFSET = 4.0
+_R0 = 0.75   # loudness-diff RMS where the estimate crosses ODG -2
+_P = 0.75    # power fitted on the SNR 40/30/20 anchors
+
+
+def odg_from_rms(rms: float) -> float:
+    """Map loudness-difference RMS onto the ODG scale (see module doc)."""
+    return float(-3.98 + 3.98 / (1.0 + (max(rms, 0.0) / _R0) ** _P))
 
 
 def odg_from_loudness(ref: np.ndarray, test: np.ndarray) -> float:
@@ -49,13 +65,13 @@ def odg_from_loudness(ref: np.ndarray, test: np.ndarray) -> float:
         return 0.0
     d = np.abs(lr[:m] - lt[:m]).sum(axis=1)
     rms = float(np.sqrt(np.mean(d * d)))
-    di = _DI_OFFSET - _DI_SCALE * np.log1p(rms)
-    return float(min(0.0, -3.98 + 4.2 / (1.0 + np.exp(-di))))
+    return odg_from_rms(rms)
 
 
 def odg_est(ref_pcm: np.ndarray, test_pcm: np.ndarray, fs: int) -> float:
     """ODG estimate for int16 PCM at fs (resampled to 48 kHz like the C
-    conformance flow resamples all material)."""
+    conformance flow resamples all material, lc3_conformance.py:575 —
+    96 kHz HR output is downsampled, not reinterpreted)."""
     r = M.resample_48k(ref_pcm.astype(np.float64) / 32768.0, fs)
     t = M.resample_48k(test_pcm.astype(np.float64) / 32768.0, fs)
     return odg_from_loudness(r, t)
