@@ -59,7 +59,7 @@ def enc_init(buf, bp_side, mask_side) -> EncSt:
 def _mark_run(st: EncSt, bp, count, runval, active):
     """Record a run of `count` bytes of `runval` at [bp, bp+count)."""
     Bn, nbytes = st.buf.shape
-    rows = jnp.arange(Bn)
+    rows = jnp.arange(Bn, dtype=I32)
     do = active & (count > 0)
     is_ff = runval == 255
     start = jnp.where(do, jnp.clip(bp, 0, nbytes - 1), nbytes)  # drop when off
@@ -81,7 +81,7 @@ def _materialize_runs(st: EncSt) -> jnp.ndarray:
 def _ac_shift(st: EncSt, active) -> EncSt:
     """ac_shift_fl (ari_codec.c:585-611), vectorized; `active` masks lanes."""
     Bn, nbytes = st.buf.shape
-    rows = jnp.arange(Bn)
+    rows = jnp.arange(Bn, dtype=I32)
     emit = active & ((st.low < 0xFF0000) | (st.carry == 1))
     do_cache = emit & (st.cache >= 0)
     val = (st.cache + st.carry) & 255
@@ -119,7 +119,7 @@ def ac_encode(st: EncSt, sym_freq, cum_freq, active) -> EncSt:
 def ac_finalize(st: EncSt) -> EncSt:
     """ac_finalize_fl (ari_codec.c:641-697), vectorized."""
     Bn, nbytes = st.buf.shape
-    rows = jnp.arange(Bn)
+    rows = jnp.arange(Bn, dtype=I32)
     # bits = 24 - floor(log2(range)); range in [2^16, 2^24)
     msb = 31 - jax.lax.clz(jnp.maximum(st.range, 1))
     bits = 24 - msb
@@ -211,7 +211,7 @@ def _tuple_context(cfg: Config, xq, lastnz_wire):
         c_new = jnp.where(in_range, (c & 15) * 16 + t_next, c)
         return c_new, (t, nlev, sym)
 
-    _, (t, nlev, sym) = jax.lax.scan(body, jnp.zeros((Bn,), I32), jnp.arange(N // 2))
+    _, (t, nlev, sym) = jax.lax.scan(body, jnp.zeros((Bn,), I32), jnp.arange(N // 2, dtype=I32))
     return dict(t=t.T, nlev=nlev.T, sym=sym.T)
 
 
@@ -298,7 +298,7 @@ def encode(cfg: Config, buf, bp_side, mask_side, xq, tns_order, tns_idx,
         collect = in_range & (lsb_mode == 1) & (nlev > 0)
         a1 = a >> 1
         b1 = b >> 1
-        rows = jnp.arange(Bn)
+        rows = jnp.arange(Bn, dtype=I32)
 
         def push(store, count, val, do):
             store = store.at[rows, jnp.clip(count, 0, N - 1)].set(
@@ -324,7 +324,7 @@ def encode(cfg: Config, buf, bp_side, mask_side, xq, tns_order, tns_idx,
         return (st, lsb_store, lsb_count), None
 
     (st, lsb_store, lsb_count), _ = jax.lax.scan(
-        tup_body, (st, lsb_store, lsb_count), jnp.arange(N // 2))
+        tup_body, (st, lsb_store, lsb_count), jnp.arange(N // 2, dtype=I32))
 
     # --- residual / LSB bits (ari_codec.c:826-860) ---
     total_bits = cfg.targetBitsAri
@@ -347,7 +347,7 @@ def encode(cfg: Config, buf, bp_side, mask_side, xq, tns_order, tns_idx,
             st.buf, st.bp_side, st.mask_side, bit, act)
         return st._replace(buf=nbuf, bp_side=nbp, mask_side=nmask), None
 
-    st, _ = jax.lax.scan(fill_body, st, jnp.arange(max_fill))
+    st, _ = jax.lax.scan(fill_body, st, jnp.arange(max_fill, dtype=I32))
     st = ac_finalize(st)
     return _materialize_runs(st)
 
@@ -423,7 +423,7 @@ def dec_init(buf, bp_side, mask_side, pc: dict | None = None,
     the encoder simulation (pc['enc']) reads the logical stream from 0.
     Returns (st, stop) — stop lanes aborted during init."""
     Bn, nbytes = buf.shape
-    rows = jnp.arange(Bn)
+    rows = jnp.arange(Bn, dtype=I32)
     z = lambda v: jnp.full((Bn,), v, I32)
     fb = jnp.zeros((Bn,), bool)
     if pc is None:
@@ -459,7 +459,7 @@ def ac_decode(st: DecSt, cum_freq_rows, num_sym: int, active, cur_bin=None,
     [B, num_sym+1] per-stream cumulative frequency table (cf[num_sym] =
     1024). Returns (st, val, stop)."""
     Bn, nbytes = st.buf.shape
-    rows = jnp.arange(Bn)
+    rows = jnp.arange(Bn, dtype=I32)
     tmp = st.range >> 10
     ber = jnp.where(active & (st.low >= (tmp << 10)), 1, st.ber)
     below = tmp[:, None] * cum_freq_rows[:, :num_sym] <= st.low[:, None]
@@ -637,7 +637,10 @@ def decode(cfg: Config, buf, side, bfi_in=None, be_bp_left=None,
             crossed = crossed & (st.c_bp == st.c_bp_side)
         bfi = jnp.where(in_range & crossed, 1, bfi)
         bfi = bfi | st.ber
-        return (st, c, bfi), (ak_out, bk_out, lev_out)
+        # explicit i32: under jax_enable_x64 (the device fixed-decode
+        # process) weak-typed promotions would flip carry dtypes mid-scan
+        return (st, c.astype(I32), bfi.astype(I32)), \
+            (ak_out.astype(I32), bk_out.astype(I32), lev_out.astype(I32))
 
     # the spectrum/level buffers are emitted as stacked scan OUTPUTS, not
     # carried state: carrying [B, N] through the scan makes XLA
@@ -645,7 +648,7 @@ def decode(cfg: Config, buf, side, bfi_in=None, be_bp_left=None,
     # of B*N i32 dominate HBM traffic and serialize the decoder. As ys
     # they are written once.
     (st, _, bfi), (aks, bks, levs) = jax.lax.scan(
-        tup_body, (st, jnp.zeros((Bn,), I32), bfi), jnp.arange(N // 2))
+        tup_body, (st, jnp.zeros((Bn,), I32), bfi), jnp.arange(N // 2, dtype=I32))
     x = jnp.zeros((Bn, N), I32)
     x = x.at[:, 0: 2 * (N // 2): 2].set(aks.T)
     x = x.at[:, 1: 2 * (N // 2): 2].set(bks.T)
@@ -685,7 +688,7 @@ def decode(cfg: Config, buf, side, bfi_in=None, be_bp_left=None,
         return (st, res_dead), jnp.where(act, bit, 0)
 
     (st, res_dead), res_ys = jax.lax.scan(
-        res_body, (st, res_dead), jnp.arange(max_res))
+        res_body, (st, res_dead), jnp.arange(max_res, dtype=I32))
     res_bits = res_ys.T  # [Bn, max_res]; ys not carry — see tup_body note
 
     # lsb_mode == 1: apply LSB refinement inline (ari_codec.c:476-556).
@@ -720,7 +723,7 @@ def decode(cfg: Config, buf, side, bfi_in=None, be_bp_left=None,
     xb_in = x[:, 1: 2 * (N // 2): 2].T
     (st, _, res_dead), (xa_out, xb_out) = jax.lax.scan(
         lsb_body, (st, nbits_residual, res_dead),
-        (jnp.arange(N // 2), xa_in, xb_in))
+        (jnp.arange(N // 2, dtype=I32), xa_in, xb_in))
     x = x.at[:, 0: 2 * (N // 2): 2].set(xa_out.T)
     x = x.at[:, 1: 2 * (N // 2): 2].set(xb_out.T)
 
@@ -738,7 +741,7 @@ def decode(cfg: Config, buf, side, bfi_in=None, be_bp_left=None,
         spec_inv_idx = jnp.full((Bn,), N, I32)
 
     # noise-filling seed over bins below spec_inv_idx (ari_codec.c:1104-1111)
-    kidx = jnp.arange(N)[None, :]
+    kidx = jnp.arange(N, dtype=I32)[None, :]
     seed_mask = kidx < spec_inv_idx[:, None]
     nf_seed = jnp.sum(jnp.where(seed_mask, jnp.abs(x) * kidx, 0), axis=1) \
         & 65535

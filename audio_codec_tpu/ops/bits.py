@@ -19,7 +19,7 @@ I32 = jnp.int32
 def write_bit_backward(buf, bp, mask, bit, active=None):
     """One backward bit write (write_bit_backward_fl). All args [B]."""
     B = buf.shape[0]
-    rows = jnp.arange(B)
+    rows = jnp.arange(B, dtype=I32)
     cur = buf[rows, bp]
     new = jnp.where(bit == 0, cur & (255 - mask), cur | mask)
     if active is not None:
@@ -44,7 +44,7 @@ def write_uint_backward(buf, bp, mask, val, nbits, max_bits: int):
 
 def read_bit(buf, bp, mask):
     B = buf.shape[0]
-    rows = jnp.arange(B)
+    rows = jnp.arange(B, dtype=I32)
     bit = jnp.where(buf[rows, jnp.clip(bp, 0, buf.shape[1] - 1)] & mask, 1, 0)
     bp_n = jnp.where(mask == 128, bp - 1, bp)
     mask_n = jnp.where(mask == 128, 1, mask * 2)

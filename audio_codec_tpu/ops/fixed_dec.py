@@ -37,74 +37,108 @@ def _t(name):
 
 
 # ------------------------------------------------------- BASOP primitives
+#
+# Backend-generic: the primitives accept NumPy arrays / Python ints (the
+# host conformance path) OR jax arrays / tracers (the batched device port,
+# ops/fixed_dev.py — which requires jax_enable_x64 so that i64 products of
+# Word32 values are exact). The stage functions below this section remain
+# host-only; their batched device counterparts live in fixed_dev.py.
+
+def _B(*xs):
+    """numpy for host values, jax.numpy for jax arrays/tracers."""
+    for x in xs:
+        if not isinstance(x, (np.ndarray, np.generic, int, float,
+                              list, tuple)):
+            import jax
+            import jax.numpy as jnp
+            assert jax.config.jax_enable_x64, \
+                "fixed-point device path needs jax_enable_x64 (i64 exactness)"
+            return jnp
+    return np
+
+
+def _as64(xp, v):
+    return xp.asarray(v, I64)
+
 
 def sat32(x):
-    return np.clip(x, MIN32, MAX32).astype(I64)
+    xp = _B(x)
+    return xp.clip(_as64(xp, x), MIN32, MAX32).astype(I64)
 
 
 def sat16(x):
-    return np.clip(x, MIN16, MAX16).astype(I64)
+    xp = _B(x)
+    return xp.clip(_as64(xp, x), MIN16, MAX16).astype(I64)
 
 
 def bitlen(x):
     """Bit length of non-negative int64 values (exact below 2^53)."""
-    x = np.asarray(x, I64)
-    e = np.frexp(x.astype(np.float64))[1]
-    return np.where(x > 0, e, 0).astype(I64)
+    xp = _B(x)
+    x = _as64(xp, x)
+    e = xp.frexp(x.astype(xp.float64))[1]
+    return xp.where(x > 0, e, 0).astype(I64)
 
 
 def norm_s(x):
     """Leading-sign-bit count minus 1 (basop32 norm_s); norm_s(0) = 0."""
-    x = np.asarray(x, I64)
-    mag = np.where(x < 0, ~x, x)  # ~x = -x-1 for negatives
-    return np.where(x == 0, 0, 15 - bitlen(mag)).astype(I64)
+    xp = _B(x)
+    x = _as64(xp, x)
+    mag = xp.where(x < 0, ~x, x)  # ~x = -x-1 for negatives
+    return xp.where(x == 0, 0, 15 - bitlen(mag)).astype(I64)
 
 
 def norm_l(x):
-    x = np.asarray(x, I64)
-    mag = np.where(x < 0, ~x, x)
-    return np.where(x == 0, 0, 31 - bitlen(mag)).astype(I64)
+    xp = _B(x)
+    x = _as64(xp, x)
+    mag = xp.where(x < 0, ~x, x)
+    return xp.where(x == 0, 0, 31 - bitlen(mag)).astype(I64)
 
 
 def L_shl(x, s):
     """Saturating left shift; negative s = arithmetic right shift."""
-    x = np.asarray(x, I64)
-    s = np.asarray(s, I64)
-    sl = np.clip(s, 0, 63)
-    left = sat32(np.where(np.abs(x) >> np.maximum(31 - sl, 0) > 0,
-                          np.where(x >= 0, MAX32, MIN32),
+    xp = _B(x, s)
+    x = _as64(xp, x)
+    s = _as64(xp, s)
+    sl = xp.clip(s, 0, 63)
+    left = sat32(xp.where(xp.abs(x) >> xp.maximum(31 - sl, 0) > 0,
+                          xp.where(x >= 0, MAX32, MIN32),
                           x << sl))
-    right = x >> np.minimum(-np.clip(s, None, 0), 63)
-    return np.where(s >= 0, left, right).astype(I64)
+    right = x >> xp.minimum(-xp.clip(s, -63, 0), 63)
+    return xp.where(s >= 0, left, right).astype(I64)
 
 
 def mpy_32_16(x, y):
     """Mpy_32_16: sat32((x*y) >> 15), floor (enh40.c:126-148; the final
     L_Extract40 saturates, and MIN32*MIN16 is special-cased to MAX32)."""
-    return sat32((np.asarray(x, I64) * np.asarray(y, I64)) >> 15)
+    xp = _B(x, y)
+    return sat32((_as64(xp, x) * _as64(xp, y)) >> 15)
 
 
 def mpy_32_32(x, y):
     """Mpy_32_32: sat32((x*y) >> 31), floor (enh40.c:204-232) — int64
     products of two 32-bit values fit: |xy| <= 2^62."""
-    return sat32((np.asarray(x, I64) * np.asarray(y, I64)) >> 31)
+    xp = _B(x, y)
+    return sat32((_as64(xp, x) * _as64(xp, y)) >> 31)
 
 
 def round_fx(L):
-    return sat16((sat32(np.asarray(L, I64) + 0x8000)) >> 16)
+    xp = _B(L)
+    return sat16((sat32(_as64(xp, L) + 0x8000)) >> 16)
 
 
 def mult_r(a, b):
-    return sat16((np.asarray(a, I64) * np.asarray(b, I64) + 0x4000) >> 15)
+    xp = _B(a, b)
+    return sat16((_as64(xp, a) * _as64(xp, b) + 0x4000) >> 15)
 
 
 def mac_r(L, a, b):
-    return round_fx(sat32(np.asarray(L, I64)
-                          + sat32((np.asarray(a, I64) * b) << 1)))
+    xp = _B(L, a, b)
+    return round_fx(sat32(_as64(xp, L) + sat32((_as64(xp, a) * b) << 1)))
 
 
 def L_mult(a, b):
-    return sat32((np.asarray(a, I64) * np.asarray(b, I64)) << 1)
+    xp = _B(a, b)
+    return sat32((_as64(xp, a) * _as64(xp, b)) << 1)
 
 
 # ------------------------------------------------------------- stages

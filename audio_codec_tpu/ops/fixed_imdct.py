@@ -43,20 +43,24 @@ def _s32(v: int) -> int:
     return v - (1 << 32) if v >= 1 << 31 else v
 
 
+# operator forms: generic over numpy arrays and jax tracers (the batched
+# device port reuses this file's whole radix/dct_IV core — see
+# ops/fixed_dev.py; sat32/L_shl dispatch per backend in fixed_dec)
+
 def ladd(a, b):
-    return sat32(np.asarray(a, I64) + np.asarray(b, I64))
+    return sat32(a + b)
 
 
 def lsub(a, b):
-    return sat32(np.asarray(a, I64) - np.asarray(b, I64))
+    return sat32(a - b)
 
 
 def lneg(a):
-    return sat32(-np.asarray(a, I64))
+    return sat32(-a)
 
 
 def shr(a, n):
-    return np.asarray(a, I64) >> n
+    return a >> n
 
 
 def lshl1(a):
@@ -279,28 +283,95 @@ def fft20(p):
     return out
 
 
+def _concat(vs):
+    """Concatenate batch vectors (np or jnp) along the lane axis."""
+    v0 = vs[0]
+    if isinstance(v0, (np.ndarray, np.generic)):
+        return np.concatenate([np.atleast_1d(np.asarray(v, I64))
+                               for v in vs])
+    import jax.numpy as jnp
+    return jnp.concatenate([jnp.atleast_1d(v) for v in vs])
+
+
+def _rep(vals, seg):
+    """Per-segment constant vector: vals[i] repeated seg times (host np;
+    broadcast against batch vectors of length len(vals)*seg)."""
+    return np.repeat(np.asarray(vals, I64), seg)
+
+
+def _chunked_fft2(p, dim1, dim2, stage1, twiddle, bfly):
+    """Shared two-stage FFT driver (fftN2 and fft40, fft.c:3364-3660):
+    all `dim2` first-stage transforms and all `dim1` second-stage
+    butterfly columns run as ONE trace each, with the chunk/column index
+    folded into the lane axis — identical elementwise arithmetic to the
+    per-column loops, but ~dim1x fewer ops to compile (the fully unrolled
+    cfft-240 graph was otherwise too large for XLA)."""
+    v = p[0][0]
+    B = v.shape[0] if getattr(v, "ndim", 0) else 1
+    # first stage: chunk i gets inputs p[i + dim2*j]
+    big_in = [( _concat([p[i + dim2 * j][0] for i in range(dim2)]),
+                _concat([p[i + dim2 * j][1] for i in range(dim2)]))
+              for j in range(dim1)]
+    big_out = stage1(big_in)                      # dim1 pairs of [dim2*B]
+    # re-lay: column vector v_k = concat over i of chunk k-th segment? no:
+    # chunks[k][i] = big_out[i] segment k; v over columns i for fixed k
+    cols = []
+    for k in range(dim2):
+        re = _concat([big_out[i][0][k * B:(k + 1) * B]
+                      for i in range(dim1)])
+        im = _concat([big_out[i][1][k * B:(k + 1) * B]
+                      for i in range(dim1)])
+        cols.append((re, im))
+    x = twiddle(cols, B)
+    res = bfly(x)                                 # dim2 pairs of [dim1*B]
+    out = [None] * (dim1 * dim2)
+    for k in range(dim2):
+        for i in range(dim1):
+            out[i + dim1 * k] = (res[k][0][i * B:(i + 1) * B],
+                                 res[k][1][i * B:(i + 1) * B])
+    return out
+
+
 def fft40(p):
     """fft40 (fft.c:3208-3352): 8 x fft5 then twiddled radix-8 columns
     with the 32-bit RotVector_40_32."""
-    W = T.t("fx_RotVector_40_32")
-    chunks = [fft5([p[i + 8 * j] for j in range(5)]) for i in range(8)]
-    out = [None] * 40
-    for i in range(5):
+    W = np.asarray(T.t("fx_RotVector_40_32")).astype(I64)
+
+    def stage1(pairs):
+        return fft5(pairs)
+
+    def twiddle(cols, B):
         x = []
+        i0_mask = _rep([1] + [0] * 4, B).astype(bool)
         for k in range(8):
-            a, b = chunks[k][i]
-            if k == 0 or i == 0:
+            a, b = cols[k]
+            if k == 0:
                 x += [shr(a, 1), shr(b, 1)]
             else:
-                c = int(W[2 * (i - 1) + (k - 1) * 8])
-                d = int(W[2 * (i - 1) + (k - 1) * 8 + 1])
+                c = _rep([0] + [int(W[2 * (i - 1) + (k - 1) * 8])
+                                for i in range(1, 5)], B)
+                d = _rep([0] + [int(W[2 * (i - 1) + (k - 1) * 8 + 1])
+                                for i in range(1, 5)], B)
                 # cplxMpy4_8_2 (fft.c:132-139): conjugate multiply
-                x += [shr(ladd(m32(a, c), m32(b, d)), 1),
-                      shr(lsub(m32(b, c), m32(a, d)), 1)]
-        res = _bfly8(x, m32, C81_32, C82_32, pre_shift=SCN2 - 1)
-        for k in range(8):
-            out[i + 5 * k] = res[k]
-    return out
+                tr = shr(ladd(m32(a, c), m32(b, d)), 1)
+                ti = shr(lsub(m32(b, c), m32(a, d)), 1)
+                xp = _B_where(i0_mask, shr(a, 1), tr)
+                yp = _B_where(i0_mask, shr(b, 1), ti)
+                x += [xp, yp]
+        return x
+
+    def bfly(x):
+        return _bfly8(x, m32, C81_32, C82_32, pre_shift=SCN2 - 1)
+
+    return _chunked_fft2(p, 5, 8, stage1, twiddle, bfly)
+
+
+def _B_where(mask, a, b):
+    if isinstance(a, (np.ndarray, np.generic)) and \
+            isinstance(b, (np.ndarray, np.generic)):
+        return np.where(mask, a, b)
+    import jax.numpy as jnp
+    return jnp.where(mask, a, b)
 
 
 _STAGE1 = {5: fft5, 8: fft8, 10: fft10, 15: fft15, 20: fft20, 30: fft30}
@@ -308,27 +379,32 @@ _STAGE1 = {5: fft5, 8: fft8, 10: fft10, 15: fft15, 20: fft20, 30: fft30}
 
 def fftN2_8(p, Wname, dim1, sc, Woff):
     """fftN2, dim2 == 8 (fft.c:3364-3434, 3493-3602): dim1-point first
-    stage then Word16-twiddled radix-8 columns."""
-    W = T.t("fx_" + Wname)
-    chunks = [_STAGE1[dim1]([p[i + 8 * j] for j in range(dim1)])
-              for i in range(8)]
-    out = [None] * (8 * dim1)
-    for i in range(dim1):
+    stage then Word16-twiddled radix-8 columns (chunk-batched)."""
+    W = np.asarray(T.t("fx_" + Wname)).astype(I64)
+
+    def twiddle(cols, B):
         x = []
+        i0_mask = _rep([1] + [0] * (dim1 - 1), B).astype(bool)
         for k in range(8):
-            a, b = chunks[k][i]
-            if k == 0 or i == 0:
+            a, b = cols[k]
+            if k == 0:
                 x += [shr(a, 1), shr(b, 1)]
             else:
-                c = int(W[sc * i + sc * k * dim1 - Woff])
-                d = int(W[sc * i + sc * k * dim1 + 1 - Woff])
+                c = _rep([0] + [int(W[sc * i + sc * k * dim1 - Woff])
+                                for i in range(1, dim1)], B)
+                d = _rep([0] + [int(W[sc * i + sc * k * dim1 + 1 - Woff])
+                                for i in range(1, dim1)], B)
                 # cplxMpy4_8_0 (fft.c:113-119)
-                x += [shr(lsub(m16(a, c), m16(b, d)), 1),
-                      shr(ladd(m16(a, d), m16(b, c)), 1)]
-        res = _bfly8(x, m16, C81, C82, pre_shift=SCN2 - 1)
-        for k in range(8):
-            out[i + dim1 * k] = res[k]
-    return out
+                tr = shr(lsub(m16(a, c), m16(b, d)), 1)
+                ti = shr(ladd(m16(a, d), m16(b, c)), 1)
+                x += [_B_where(i0_mask, shr(a, 1), tr),
+                      _B_where(i0_mask, shr(b, 1), ti)]
+        return x
+
+    def bfly(x):
+        return _bfly8(x, m16, C81, C82, pre_shift=SCN2 - 1)
+
+    return _chunked_fft2(p, dim1, 8, _STAGE1[dim1], twiddle, bfly)
 
 
 def cfft(p, length):

@@ -150,7 +150,7 @@ def bit_estimate(cfg: Config, xq, target, mode):
     b_all = jnp.abs(xq[:, 1::2])
     nz = (a_all != 0) | (b_all != 0)
     # lastnz: last tuple (index k, step2) with nonzero, min 1 tuple
-    tup_idx = jnp.arange(N // 2)
+    tup_idx = jnp.arange(N // 2, dtype=I32)
     last_tup = jnp.where(nz[:, 1:].any(-1),
                          1 + (N // 2 - 2) - jnp.argmax(jnp.flip(nz[:, 1:], -1), -1),
                          0)
@@ -217,7 +217,7 @@ def bit_estimate(cfg: Config, xq, target, mode):
     init = (jnp.zeros((B,), I32), jnp.zeros((B,), I32), jnp.zeros((B,), I32),
             jnp.full((B,), 2, I32), jnp.zeros((B,), I32))
     (c, nbits, nbits2, lastnz2, nbits_lsb), _ = jax.lax.scan(
-        body, init, jnp.arange(N // 2))
+        body, init, jnp.arange(N // 2, dtype=I32))
 
     nbits_f = (nbits + 2047) // 2048
     if mode >= 0:
@@ -236,7 +236,7 @@ def bit_estimate(cfg: Config, xq, target, mode):
 def truncate_spectrum(xq, lastnz, lastnz2):
     """Zero xq[lastnz2 .. lastnz] inclusive (quantize_spec.c:170-173)."""
     n = xq.shape[1]
-    idx = jnp.arange(n)[None, :]
+    idx = jnp.arange(n, dtype=I32)[None, :]
     kill = (idx >= lastnz2[:, None]) & (idx <= lastnz[:, None])
     return jnp.where(kill, 0, xq)
 
@@ -283,7 +283,7 @@ def noise_factor(cfg: Config, x, xq, gain, bw_bin):
         width, start_off = 3, 24   # (nTransWidth-2)/2 = 3
     else:
         width, start_off = 1, {50: 12, 25: 6}[cfg.frame_dms]
-    k = jnp.arange(N)[None, :]
+    k = jnp.arange(N, dtype=I32)[None, :]
     nz = xq != 0
     # allZeros over window [k-width, min(bw-1, k+width)]
     any_nz = jnp.zeros((B, N), jnp.bool_)
@@ -341,7 +341,7 @@ def residual_encode(cfg: Config, x, xq, gain, target, nbits2):
     iters = 20 if cfg.hrmode else 1
     offset = F32(0.25)
     res = jnp.zeros((B, max_res), I32)
-    rows = jnp.arange(B)[:, None]
+    rows = jnp.arange(B, dtype=I32)[:, None]
     for r in range(iters):
         bit = (x >= xqg).astype(I32)
         x = jnp.where(nz, jnp.where(bit == 1, x - gain[:, None] * offset,
@@ -428,7 +428,7 @@ def noise_filling(cfg: Config, x, nf_seed, fac_ns_idx, bw_bin,
     start_off = {100: 24, 50: 12, 25: 6}[cfg.frame_dms]
     fac = (8.0 - fac_ns_idx.astype(F32)) / 16.0
 
-    k = jnp.arange(N)[None, :]
+    k = jnp.arange(N, dtype=I32)[None, :]
     nzm = x != 0.0
     any_nz = jnp.zeros((B, N), jnp.bool_)
     for off in range(-width, width + 1):

@@ -150,6 +150,26 @@ def main() -> None:
     dec_flops_per_s = dec_flops_block / dec_pipe if dec_flops_block else 0.0
     dec_mfu = (dec_flops_per_s / peak) if peak and dec_flops_per_s else None
 
+    # bit-exact fixed decoder (device int64 path) — separate process
+    # (needs jax_enable_x64); omitted gracefully on timeout/failure
+    fixed_dec_streams = None
+    fixed_extra = {}
+    try:
+        import subprocess
+        import sys as _sys
+        r = subprocess.run(
+            [_sys.executable, "tools/bench_fixed_dev.py"],
+            capture_output=True, text=True, timeout=1500,
+            cwd=__import__("pathlib").Path(__file__).resolve().parent)
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                row = json.loads(line)
+                fixed_dec_streams = row.get("value")
+                fixed_extra = {"fixed_decode_block_ms": row.get("block_ms"),
+                               "fixed_decode_compile_s": row.get("compile_s")}
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "realtime_48k_encode_streams_per_chip",
         "value": round(streams_realtime, 1),
@@ -171,6 +191,8 @@ def main() -> None:
         "decode_tflops_per_s": round(dec_flops_per_s / 1e12, 2),
         "encode_mfu_vs_bf16_peak": round(enc_mfu, 4) if enc_mfu is not None else None,
         "decode_mfu_vs_bf16_peak": round(dec_mfu, 4) if dec_mfu is not None else None,
+        "fixed_decode_streams_per_chip": fixed_dec_streams,
+        **fixed_extra,
     }))
 
 

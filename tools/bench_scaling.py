@@ -58,9 +58,23 @@ def _bench_mesh(frames: int, streams: int) -> float:
     return frames * streams / (time.perf_counter() - t0)
 
 
-def _worker(pid: int, nproc: int, port: int, frames: int, streams: int):
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=4").strip()
+def _worker(pid: int, nproc: int, port: int, frames: int, streams: int,
+            dph: int, cores_per_host: int):
+    # equal-resource emulation: every virtual host gets the same CPU-core
+    # slice regardless of the row's host count, so efficiency_vs_1
+    # measures sharding mechanics, not core oversubscription (round 4's
+    # 2-host row ran 2 procs x 4 devices x multithreaded XLA on a 2-core
+    # box and recorded 0.302 "efficiency" — that was contention)
+    ncores = os.cpu_count() or 1
+    cores = [(pid * cores_per_host + c) % ncores
+             for c in range(cores_per_host)]
+    try:
+        os.sched_setaffinity(0, set(cores))
+    except (AttributeError, OSError):
+        pass
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={dph}").strip()
     import jax
     jax.config.update("jax_platforms", "cpu")
     from audio_codec_tpu.parallel import mesh as pm
@@ -69,7 +83,11 @@ def _worker(pid: int, nproc: int, port: int, frames: int, streams: int):
     if pid == 0:
         print(json.dumps({"metric": "encode_frames_per_s",
                           "topology": f"{nproc}hosts(cpu-emu)",
-                          "value": round(fps, 1), "streams": streams}))
+                          "value": round(fps, 1), "streams": streams,
+                          "devices_per_host": dph,
+                          "cores_per_host": cores_per_host,
+                          "host_cores_total": ncores,
+                          "oversubscribed": nproc * cores_per_host > ncores}))
 
 
 def main() -> None:
@@ -79,14 +97,19 @@ def main() -> None:
                     help="host counts for CPU-pod rows (default: 1 2)")
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--streams", type=int, default=256)
+    ap.add_argument("--devices-per-host", type=int, default=None,
+                    help="virtual devices per emulated host (default: "
+                         "spread host cores across the largest row)")
     ap.add_argument("--_worker", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--_nproc", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--_port", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--_dph", type=int, default=1, help=argparse.SUPPRESS)
+    ap.add_argument("--_cph", type=int, default=1, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args._worker is not None:
         _worker(args._worker, args._nproc, args._port, args.frames,
-                args.streams)
+                args.streams, args._dph, args._cph)
         return
 
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
@@ -117,13 +140,18 @@ def main() -> None:
                               "topology": "1chip", "value": round(fps, 1),
                               "streams": args.streams}))
 
+    hosts_list = args.hosts if args.hosts else [1, 2]
+    ncores = os.cpu_count() or 1
+    cph = max(1, ncores // max(hosts_list))
+    dph = args.devices_per_host or cph
     base = None
-    for n in (args.hosts if args.hosts else [1, 2]):
+    for n in hosts_list:
         port = _free_port()
         procs = [subprocess.Popen(
             [sys.executable, __file__, f"--_worker={p}", f"--_nproc={n}",
              f"--_port={port}", f"--frames={args.frames}",
-             f"--streams={args.streams}"],
+             f"--streams={args.streams}", f"--_dph={dph}",
+             f"--_cph={cph}"],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
             cwd=REPO, env={**os.environ, "JAX_PLATFORMS": ""})
             for p in range(n)]
