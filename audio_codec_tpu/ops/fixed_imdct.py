@@ -284,9 +284,11 @@ def fft20(p):
 
 
 def _concat(vs):
-    """Concatenate batch vectors (np or jnp) along the lane axis."""
+    """Concatenate batch vectors (np or jnp) along the lane axis.  Host
+    inputs may be plain Python ints (the scalar PLC paths feed single
+    nodes) — anything that is not a jax array stays on the numpy path."""
     v0 = vs[0]
-    if isinstance(v0, (np.ndarray, np.generic)):
+    if isinstance(v0, (np.ndarray, np.generic, int, float)):
         return np.concatenate([np.atleast_1d(np.asarray(v, I64))
                                for v in vs])
     import jax.numpy as jnp

@@ -642,15 +642,14 @@ def _fixed_ep_decode_rms(env: Env, bs_path: Path, ref_wav: Path,
     data = np.asarray(cd["data"], np.int64).astype(np.uint8)
     data_bytes = np.asarray(cd["data_bytes"], np.int64)
     bfi = np.asarray(cd["bfi"], np.int64)
-    # partial concealment (bfi == 2) is not implemented in the fixed
-    # conformance decoder — if the channel decoder ever classifies a frame
-    # as partially corrupt here, fail loudly instead of silently decoding
-    # the corrupt region as clean (ADVICE r4; the reference would run
-    # processPCmain_fx, pc_main_fx.c:17)
-    assert not np.any(bfi == 2), \
-        "EP decode leg produced bfi==2 frames; fixed PC path not implemented"
-    bfi = np.where(bfi == 1, 1, 0)
-    good = bfi == 0
+    # bfi==2 frames run the bit-exact partial-concealment path in
+    # decode_plc (ops/pc_fixed.py, verified vs the reference decoder in
+    # tests/test_pc_fixed.py).  Under ccc the channel cores read n_pc=0,
+    # so the range decoder decodes the span normally and reclassifies
+    # bfi 2 -> 0 (clean) or 1 (BER) exactly like the reference
+    # (ari_codec.c:1153-1160 spec_inv_idx==L_spec rule); decode_plc
+    # implements both behaviours.
+    good = bfi != 1
     fps = 10000 // int(h.frame_ms * 10)
     ch = h.channels if ccc else 1
     outs = []
@@ -675,7 +674,9 @@ def _fixed_ep_decode_rms(env: Env, bs_path: Path, ref_wav: Path,
         # al_fec.c:873-878 sets n_pc only when ccc_flag == 0)
         pcm = FixedDecoder(cfg).decode_plc(
             chdata, bfi, nbytes=ch_bytes,
-            n_pc=None if ccc else n_pc, n_pccw=None if ccc else n_pccw)
+            n_pc=None if ccc else n_pc, n_pccw=None if ccc else n_pccw,
+            be_bp_left=np.asarray(cd["be_bp_left"]),
+            be_bp_right=np.asarray(cd["be_bp_right"]))
         outs.append(pcm.reshape(-1))
     delay = cfg.frame_length - 2 * cfg.la_zeroes
     ref_pcm = _read_pcm(ref_wav)

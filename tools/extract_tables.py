@@ -154,7 +154,7 @@ def extract_basop(tables: dict[str, np.ndarray]) -> None:
     text = SRC_ROM.read_text() + SRC_FX.read_text()
     want = {"exp2_tab_long", "exp2w_tab_long", "exp2x_tab_long",
             "InvLog2_16_table1", "InvLog2_16_table2", "tnsQuantPts",
-            "isqrt_table", "sqrt_table", "InvTable",
+            "isqrt_table", "sqrt_table", "InvTable", "InvDiffTable",
             # fixed SNS decoder (sns_quantize_scf_fx.c / pvq_dec_fx.c)
             "st1SCF0_7_base5_32x8_Q14", "st1SCF8_15_base5_32x8_Q14",
             "sns_vq_reg_adj_gains", "sns_vq_reg_lf_adj_gains",
