@@ -66,6 +66,8 @@ def render(results: dict) -> str:
     n_all = n_pass = 0
     body = []
     for fam, rows in results.items():
+        if fam.startswith("_"):     # metadata (e.g. _summary), not rows
+            continue
         body.append(f"<h2>{html.escape(fam)}</h2><table><tr><th>point</th>"
                     + "".join(f"<th>{m}</th>" for m in _LEGS)
                     + "<th>verdict</th></tr>")
