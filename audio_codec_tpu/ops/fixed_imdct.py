@@ -84,7 +84,8 @@ TWIDDLE = _w16(0x5A82799A)
 
 SC5, SC8, SC10, SC15, SC20 = 4, 4, 5, 5, 5
 SC30_1, SC30_2, SCN2 = 5, 1, 3
-SCALE = {10: 5, 15: 5, 20: 5, 30: 6, 40: 7, 80: 8, 120: 8, 160: 8, 240: 9}
+SCALE = {10: 5, 15: 5, 20: 5, 30: 6, 40: 7, 60: 7, 80: 8, 120: 8, 160: 8,
+         240: 9}
 
 
 # ------------------------------------------------------------ radix cores
@@ -409,6 +410,40 @@ def fftN2_8(p, Wname, dim1, sc, Woff):
     return _chunked_fft2(p, dim1, 8, _STAGE1[dim1], twiddle, bfly)
 
 
+def fftN2_4(p, Wname, dim1, sc, Woff):
+    """fftN2, dim2 == 4 (fft.c:3395-3460): dim1-point first stage then
+    Word16-twiddled radix-4 columns.  The twiddle index uses the FIXED
+    stride j = 8 (`j = add(8, 0)`) unlike the dim2==8 branch's sc, and
+    cplxMpy4_4_0/_1 shift by SCALEFACTOR60 - SCALEFACTOR15 = 2
+    (fft.c:101-109).  Used by cfft-60 (the 2.5/5 ms DCT-IV sizes)."""
+    W = np.asarray(T.t("fx_" + Wname)).astype(I64)
+
+    def twiddle(cols, B):
+        x = []
+        i0_mask = _rep([1] + [0] * (dim1 - 1), B).astype(bool)
+        for k in range(4):
+            a, b = cols[k]
+            if k == 0:
+                x += [shr(a, 2), shr(b, 2)]
+            else:
+                c = _rep([0] + [int(W[sc * i + 8 * k * dim1 - Woff])
+                                for i in range(1, dim1)], B)
+                d = _rep([0] + [int(W[sc * i + 8 * k * dim1 + 1 - Woff])
+                                for i in range(1, dim1)], B)
+                # cplxMpy4_4_0 (fft.c:101-105)
+                tr = shr(lsub(m16(a, c), m16(b, d)), 2)
+                ti = shr(ladd(m16(a, d), m16(b, c)), 2)
+                x += [_B_where(i0_mask, shr(a, 2), tr),
+                      _B_where(i0_mask, shr(b, 2), ti)]
+        return x
+
+    def bfly(x):
+        a = _bfly4(*x)
+        return [(a[0], a[1]), (a[2], a[3]), (a[4], a[5]), (a[6], a[7])]
+
+    return _chunked_fft2(p, dim1, 4, _STAGE1[dim1], twiddle, bfly)
+
+
 def cfft(p, length):
     """BASOP_cfft (fft.c:3668-3800) for the IMDCT sizes; returns
     (pairs, scale_add)."""
@@ -422,6 +457,8 @@ def cfft(p, length):
         return fft30(p), SCALE[30]
     if length == 40:
         return fft40(p), SCALE[40]
+    if length == 60:
+        return fftN2_4(p, "RotVector_480", 15, 4, 60), SCALE[60]
     if length == 80:
         return fftN2_8(p, "RotVector_320", 10, 4, 40), SCALE[80]
     if length == 120:

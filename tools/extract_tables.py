@@ -168,6 +168,14 @@ def extract_basop(tables: dict[str, np.ndarray]) -> None:
             "LowDelayShapes_n960_N80", "LowDelayShapes_n960_N160",
             "LowDelayShapes_n960_N240", "LowDelayShapes_n960_N320",
             "LowDelayShapes_n960_N480",
+            # 2.5 / 5 ms fixed MDCT synthesis windows (setup_dec_lc3.c:206,231)
+            "LowDelayShapes_n960_N40_5ms", "LowDelayShapes_n960_N80_5ms",
+            "LowDelayShapes_n960_N120_5ms", "LowDelayShapes_n960_N160_5ms",
+            "LowDelayShapes_n960_N240_5ms",
+            "LowDelayShapes_n960_N40_2_5ms", "LowDelayShapes_n960_N80_2_5ms",
+            "LowDelayShapes_n960_N120_2_5ms",
+            "LowDelayShapes_n960_N160_2_5ms",
+            "LowDelayShapes_n960_N240_2_5ms",
             # fixed LTPF decoder scalars (ltpf_decoder_fx.c)
             "pitch_scale", "inter_filter_len", "inter_filter_shift",
             "tilt_filter_len", "gain_scale_fac", "ltpf_overlap_len",
